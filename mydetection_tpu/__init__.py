@@ -1,0 +1,29 @@
+"""mydetection_tpu — TPU-native object-detection framework in JAX.
+
+A ground-up rebuild of the capabilities of duanzhiihao/myDetection
+(PyTorch reference) designed for TPU: the whole
+preprocess→backbone→head→decode→top-k→NMS path compiles to one XLA
+graph per input-size bucket, with static-shape padded post-processing
+(Pallas kernels on the hot ops) instead of the reference's host-side
+Python loops. See SURVEY.md for the blueprint.
+
+Public surface (reference parity, SURVEY.md §2.1/§2.2):
+    Detector(model_name=..., weights_path=...)  — build-by-name
+    Detector.detect_one / detect_batch / detect_imgSeq
+    get_model(name) / list_models()
+    evaluate_coco(...)  — COCO box-mAP evaluation
+"""
+
+from mydetection_tpu.api import Detections, Detector
+from mydetection_tpu.registry import Model, ModelConfig, get_model, list_models
+
+__all__ = [
+    "Detections",
+    "Detector",
+    "Model",
+    "ModelConfig",
+    "get_model",
+    "list_models",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,96 @@
+"""Checkpoint save/load for pytree params.
+
+Reference parity: `torch.save({'model': state_dict, 'optimizer': …,
+'iter': n})` to `weights/*.pt` [recalled; SURVEY.md §2.15 / §5.4].
+Ours: params are nested-dict pytrees stored as flat `.npz`
+(dependency-light, host-portable); training checkpoints bundle
+params + optimizer state + step under reserved key prefixes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEP = "/"
+
+
+def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}{SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}#{i}{SEP}"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split(SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def rebuild(node):
+        if not isinstance(node, dict):
+            return jnp.asarray(node)
+        if node and all(k.startswith("#") for k in node):
+            items = sorted(node.items(), key=lambda kv: int(kv[0][1:]))
+            return [rebuild(v) for _, v in items]
+        return {k: rebuild(v) for k, v in node.items()}
+
+    return rebuild(root)
+
+
+def save_checkpoint(path: str, params: Any, *, step: int | None = None,
+                    opt_state: Any = None, extra: dict | None = None) -> None:
+    flat = {f"params{SEP}{k}": v for k, v in flatten_tree(params).items()}
+    if opt_state is not None:
+        flat.update({f"opt{SEP}{k}": v for k, v in flatten_tree(opt_state).items()})
+    if step is not None:
+        flat["__step__"] = np.asarray(step)
+    for k, v in (extra or {}).items():
+        flat[f"extra{SEP}{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:  # explicit handle: numpy won't append .npz
+        np.savez(fh, **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    """Returns {'params': tree, 'opt': tree|None, 'step': int|None, 'extra': dict}."""
+    with np.load(path, allow_pickle=False) as zf:
+        flat = {k: zf[k] for k in zf.files}
+    params_flat = {k[len("params" + SEP):]: v for k, v in flat.items()
+                   if k.startswith("params" + SEP)}
+    opt_flat = {k[len("opt" + SEP):]: v for k, v in flat.items()
+                if k.startswith("opt" + SEP)}
+    extra = {k[len("extra" + SEP):]: v for k, v in flat.items()
+             if k.startswith("extra" + SEP)}
+    return {
+        "params": unflatten_tree(params_flat) if params_flat else None,
+        "opt": unflatten_tree(opt_flat) if opt_flat else None,
+        "step": int(flat["__step__"]) if "__step__" in flat else None,
+        "extra": extra,
+    }
+
+
+def load_params(path: str) -> Any:
+    """Weights-only load (the Detector path, reference `load_state_dict`)."""
+    ckpt = load_checkpoint(path)
+    if ckpt["params"] is None:
+        raise ValueError(f"checkpoint {path} has no params")
+    return ckpt["params"]

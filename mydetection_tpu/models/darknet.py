@@ -1,0 +1,83 @@
+"""Darknet-53 backbone in pure-functional JAX (NHWC).
+
+Reference parity: `models/backbones/darknet.py` in
+duanzhiihao/myDetection [recalled; SURVEY.md §2.3] — the 52-conv
+residual backbone from the YOLOv3 paper (arXiv 1804.02767): a stem
+conv then five stages of (stride-2 downsample conv + N residual
+blocks) with N = 1/2/8/8/4. Each residual block is 1x1 (c→c/2) then
+3x3 (c/2→c) with an additive skip. Returns C3/C4/C5 features at
+strides 8/16/32.
+
+TPU-native: NHWC activations, HWIO weights, optional bfloat16 compute;
+the whole stack is one XLA graph under jit (no module framework).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu.models.layers import (
+    KeyGen,
+    Params,
+    conv_bn_leaky,
+    conv_bn_leaky_init,
+)
+
+STAGE_BLOCKS = (1, 2, 8, 8, 4)
+STAGE_CHANNELS = (64, 128, 256, 512, 1024)
+
+
+def init(rng: jax.Array) -> Params:
+    keys = KeyGen(rng)
+    params: Params = {"stem": conv_bn_leaky_init(keys(), 3, 3, 32)}
+    c_in = 32
+    for si, (nblocks, c_out) in enumerate(zip(STAGE_BLOCKS, STAGE_CHANNELS)):
+        stage: Params = {"down": conv_bn_leaky_init(keys(), 3, c_in, c_out)}
+        for bi in range(nblocks):
+            stage[f"res{bi}"] = {
+                "conv1": conv_bn_leaky_init(keys(), 1, c_out, c_out // 2),
+                "conv2": conv_bn_leaky_init(keys(), 3, c_out // 2, c_out),
+            }
+        params[f"stage{si}"] = stage
+        c_in = c_out
+    return params
+
+
+def _res_block(p: Params, x: jnp.ndarray, *, train: bool, compute_dtype):
+    y, s1 = conv_bn_leaky(p["conv1"], x, train=train, compute_dtype=compute_dtype)
+    y, s2 = conv_bn_leaky(p["conv2"], y, train=train, compute_dtype=compute_dtype)
+    stats = None
+    if train:
+        stats = {"conv1": {"bn": s1}, "conv2": {"bn": s2}}
+    return x + y, stats
+
+
+def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
+          compute_dtype=None):
+    """x: NHWC float image batch → (C3, C4, C5), plus BN-update tree.
+
+    Returns ((c3, c4, c5), updates) — updates is None in eval mode.
+    """
+    updates: Params = {}
+    y, s = conv_bn_leaky(params["stem"], x, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["stem"] = {"bn": s}
+    feats = []
+    for si, nblocks in enumerate(STAGE_BLOCKS):
+        stage = params[f"stage{si}"]
+        stage_updates: Params = {}
+        y, s = conv_bn_leaky(stage["down"], y, stride=2, train=train,
+                             compute_dtype=compute_dtype)
+        if train:
+            stage_updates["down"] = {"bn": s}
+        for bi in range(nblocks):
+            y, s = _res_block(stage[f"res{bi}"], y, train=train,
+                              compute_dtype=compute_dtype)
+            if train:
+                stage_updates[f"res{bi}"] = s
+        if train:
+            updates[f"stage{si}"] = stage_updates
+        if si >= 2:  # stages 2/3/4 emit C3/C4/C5 (strides 8/16/32)
+            feats.append(y)
+    return tuple(feats), (updates if train else None)

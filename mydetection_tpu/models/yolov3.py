@@ -1,0 +1,316 @@
+"""YOLOv3 neck + detection head: decode and loss as pure functions.
+
+Reference parity: `models/yolov3.py` in duanzhiihao/myDetection
+[recalled; SURVEY.md §2.5] — top-down neck (upsample + channel-concat +
+conv stacks), three detection branches, per-branch decode
+    xy = (sigmoid(t_xy) + grid) * stride
+    wh = exp(t_wh) * anchor
+    obj/cls = sigmoid,
+anchors = the 9 canonical COCO anchors of the YOLOv3 paper
+(arXiv 1804.02767, Table: 10x13 ... 373x326). The reference computes
+loss inside `forward` when labels are given (SURVEY.md §3.3); we keep
+that encapsulation as separate pure `decode()` / `loss()` functions on
+the head.
+
+TPU-native redesign:
+  * decode is dense and static-shape — it emits ALL ΣA·H·W boxes; the
+    conf-filter/NMS happens downstream in the static postprocess
+    (mydetection_tpu.ops.nms.postprocess), not here.
+  * target assignment is fully vectorized scatter (no per-GT Python
+    loops, unlike the reference's per-image loops — SURVEY.md §3.3 🔥):
+    labels are padded to MAX_GT with a validity mask; invalid GTs
+    scatter into a trash slot.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu.models import darknet
+from mydetection_tpu.models.layers import (
+    KeyGen,
+    Params,
+    conv2d,
+    conv_bn_leaky,
+    conv_bn_leaky_init,
+    conv_init,
+    upsample2x,
+)
+from mydetection_tpu.ops.boxes import cxcywh_to_xyxy, pairwise_iou
+
+# Canonical YOLOv3 COCO anchors (w, h) in input pixels, paper order.
+ANCHORS = (
+    ((116, 90), (156, 198), (373, 326)),  # P5, stride 32
+    ((30, 61), (62, 45), (59, 119)),      # P4, stride 16
+    ((10, 13), (16, 30), (33, 23)),       # P3, stride 8
+)
+STRIDES = (32, 16, 8)
+IGNORE_THRES = 0.6
+TWH_CLAMP = 8.0  # exp(8)*373 ≈ 1.1e6 px — generous but finite
+
+
+# ---------------------------------------------------------------------------
+# neck + head params
+# ---------------------------------------------------------------------------
+
+def _conv5_init(rng, c_in: int, c_mid: int) -> Params:
+    ks = jax.random.split(rng, 5)  # indexed, never iterated
+    return {
+        "c0": conv_bn_leaky_init(ks[0], 1, c_in, c_mid),
+        "c1": conv_bn_leaky_init(ks[1], 3, c_mid, c_mid * 2),
+        "c2": conv_bn_leaky_init(ks[2], 1, c_mid * 2, c_mid),
+        "c3": conv_bn_leaky_init(ks[3], 3, c_mid, c_mid * 2),
+        "c4": conv_bn_leaky_init(ks[4], 1, c_mid * 2, c_mid),
+    }
+
+
+def _conv5(p: Params, x, *, train, compute_dtype):
+    updates = {}
+    for name in ("c0", "c1", "c2", "c3", "c4"):
+        x, s = conv_bn_leaky(p[name], x, train=train, compute_dtype=compute_dtype)
+        if train:
+            updates[name] = {"bn": s}
+    return x, (updates if train else None)
+
+
+def init(rng: jax.Array, num_classes: int = 80) -> Params:
+    """Neck + 3 detection branches. Input: C3/C4/C5 from Darknet-53."""
+    ks = KeyGen(rng)
+    na, no = 3, 5 + num_classes
+    return {
+        "block5": _conv5_init(ks(), 1024, 512),
+        "head5": {"conv": conv_bn_leaky_init(ks(), 3, 512, 1024),
+                  "out": conv_init(ks(), 1, 1024, na * no, bias=True)},
+        "lateral4": conv_bn_leaky_init(ks(), 1, 512, 256),
+        "block4": _conv5_init(ks(), 512 + 256, 256),
+        "head4": {"conv": conv_bn_leaky_init(ks(), 3, 256, 512),
+                  "out": conv_init(ks(), 1, 512, na * no, bias=True)},
+        "lateral3": conv_bn_leaky_init(ks(), 1, 256, 128),
+        "block3": _conv5_init(ks(), 256 + 128, 128),
+        "head3": {"conv": conv_bn_leaky_init(ks(), 3, 128, 256),
+                  "out": conv_init(ks(), 1, 256, na * no, bias=True)},
+    }
+
+
+def _branch(head: Params, x, *, train, compute_dtype):
+    y, s = conv_bn_leaky(head["conv"], x, train=train, compute_dtype=compute_dtype)
+    out = conv2d(y, head["out"]["w"], compute_dtype=compute_dtype)
+    out = out + head["out"]["b"].astype(out.dtype)
+    return out, ({"conv": {"bn": s}} if train else None)
+
+
+def apply(params: Params, feats: Sequence[jnp.ndarray], *, train: bool = False,
+          compute_dtype=None):
+    """(C3, C4, C5) → raw head outputs [P5, P4, P3] (B, H, W, A*(5+C))."""
+    c3, c4, c5 = feats
+    updates: Params = {}
+
+    x5, u = _conv5(params["block5"], c5, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["block5"] = u
+    out5, u = _branch(params["head5"], x5, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["head5"] = u
+
+    lat, u = conv_bn_leaky(params["lateral4"], x5, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["lateral4"] = {"bn": u}
+    x4 = jnp.concatenate([upsample2x(lat), c4], axis=-1)
+    x4, u = _conv5(params["block4"], x4, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["block4"] = u
+    out4, u = _branch(params["head4"], x4, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["head4"] = u
+
+    lat, u = conv_bn_leaky(params["lateral3"], x4, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["lateral3"] = {"bn": u}
+    x3 = jnp.concatenate([upsample2x(lat), c3], axis=-1)
+    x3, u = _conv5(params["block3"], x3, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["block3"] = u
+    out3, u = _branch(params["head3"], x3, train=train, compute_dtype=compute_dtype)
+    if train:
+        updates["head3"] = u
+
+    return [out5, out4, out3], (updates if train else None)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _level_grid(h: int, w: int, dtype) -> jnp.ndarray:
+    gy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return jnp.stack([gx, gy], axis=-1).astype(dtype)  # (H, W, 2) as (x, y)
+
+
+def decode_level(raw: jnp.ndarray, anchors, stride: int, num_classes: int):
+    """One level's raw output → dense predictions.
+
+    raw (B, H, W, A*(5+C)) → dict with
+      boxes (B, H*W*A, 4) cxcywh net-pixels; obj (B, N); cls (B, N, C);
+      txy (B, N, 2) raw-sigmoid outputs kept for the loss.
+    Decode runs in float32 for bit-consistency regardless of the conv
+    compute dtype (SURVEY.md §7 hard-part #2).
+    """
+    b, h, w, _ = raw.shape
+    na = len(anchors)
+    raw = raw.astype(jnp.float32).reshape(b, h, w, na, 5 + num_classes)
+    grid = _level_grid(h, w, jnp.float32)[None, :, :, None, :]  # (1,H,W,1,2)
+    anc = jnp.asarray(anchors, jnp.float32)[None, None, None, :, :]  # (1,1,1,A,2)
+
+    sig_xy = jax.nn.sigmoid(raw[..., 0:2])
+    xy = (sig_xy + grid) * float(stride)
+    twh = jnp.clip(raw[..., 2:4], -TWH_CLAMP, TWH_CLAMP)
+    wh = jnp.exp(twh) * anc
+    obj = jax.nn.sigmoid(raw[..., 4])
+    cls = jax.nn.sigmoid(raw[..., 5:])
+
+    n = h * w * na
+    return {
+        "boxes": jnp.concatenate([xy, wh], axis=-1).reshape(b, n, 4),
+        "obj": obj.reshape(b, n),
+        "cls": cls.reshape(b, n, num_classes),
+    }
+
+
+def decode(raw_outputs: Sequence[jnp.ndarray], num_classes: int = 80):
+    """All levels → concatenated dense predictions (B, ΣN, ...)."""
+    parts = [
+        decode_level(raw, ANCHORS[i], STRIDES[i], num_classes)
+        for i, raw in enumerate(raw_outputs)
+    ]
+    return {
+        "boxes": jnp.concatenate([p["boxes"] for p in parts], axis=1),
+        "obj": jnp.concatenate([p["obj"] for p in parts], axis=1),
+        "cls": jnp.concatenate([p["cls"] for p in parts], axis=1),
+    }
+
+
+def scores_from(decoded: dict) -> jnp.ndarray:
+    """Final per-class scores = obj * cls (YOLO convention)."""
+    return decoded["obj"][..., None] * decoded["cls"]
+
+
+# ---------------------------------------------------------------------------
+# loss (vectorized target assignment; labels padded to MAX_GT)
+# ---------------------------------------------------------------------------
+
+def _bce(logits, targets):
+    """Numerically-stable sigmoid BCE (elementwise)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
+         gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray, gt_valid: jnp.ndarray,
+         *, input_size: int, num_classes: int = 80) -> dict:
+    """YOLOv3 loss over padded GT.
+
+    Args:
+      raw_outputs: [P5, P4, P3] raw head maps (float; will be cast f32).
+      gt_boxes:   (B, M, 4) cxcywh in network pixels.
+      gt_classes: (B, M) int32.
+      gt_valid:   (B, M) bool.
+    Returns dict of scalar loss terms + 'total'.
+
+    Formulation (darknet-style, matching the reference's YOLO idiom):
+      * best-anchor-per-GT assignment across all 9 anchors by wh-IoU;
+      * BCE on sigmoid(txy) vs in-cell offset, MSE on twh vs
+        log(gt_wh / anchor);
+      * BCE obj with ignore mask where a prediction's decoded box
+        overlaps ANY GT with IoU > 0.6 (IGNORE_THRES) [recalled];
+      * BCE cls on assigned cells; box terms weighted by
+        (2 - gt_w*gt_h / size²) — the small-box upweighting idiom.
+    """
+    all_anchors = jnp.asarray(
+        [a for lvl in ANCHORS for a in lvl], jnp.float32)  # (9, 2)
+    b, m = gt_classes.shape
+
+    # --- best anchor per GT (wh IoU at origin) ---
+    gw, gh = gt_boxes[..., 2], gt_boxes[..., 3]  # (B, M)
+    aw, ah = all_anchors[:, 0], all_anchors[:, 1]  # (9,)
+    inter = jnp.minimum(gw[..., None], aw) * jnp.minimum(gh[..., None], ah)
+    union = gw[..., None] * gh[..., None] + aw * ah - inter
+    anchor_iou = inter / jnp.maximum(union, 1e-9)  # (B, M, 9)
+    best_a = jnp.argmax(anchor_iou, axis=-1)       # (B, M) in [0, 9)
+    best_level = best_a // 3                        # 0=P5, 1=P4, 2=P3
+    best_sub = best_a % 3
+
+    total_obj = jnp.float32(0)
+    total_box = jnp.float32(0)
+    total_cls = jnp.float32(0)
+    num_pos_total = jnp.float32(0)
+
+    decoded = decode(raw_outputs, num_classes)
+    pred_xyxy = cxcywh_to_xyxy(decoded["boxes"])            # (B, N, 4)
+    gt_xyxy = cxcywh_to_xyxy(gt_boxes)                      # (B, M, 4)
+    iou_pred_gt = pairwise_iou(pred_xyxy, gt_xyxy)          # (B, N, M)
+    iou_pred_gt = jnp.where(gt_valid[:, None, :], iou_pred_gt, 0.0)
+    max_iou = jnp.max(iou_pred_gt, axis=-1)                 # (B, N)
+    ignore_flat = max_iou > IGNORE_THRES
+
+    offset = 0
+    for li, raw in enumerate(raw_outputs):
+        bb, h, w, _ = raw.shape
+        na = 3
+        stride = STRIDES[li]
+        raw = raw.astype(jnp.float32).reshape(bb, h, w, na, 5 + num_classes)
+        n = h * w * na
+
+        sel = gt_valid & (best_level == li)                 # (B, M)
+        cx, cy = gt_boxes[..., 0] / stride, gt_boxes[..., 1] / stride
+        ci = jnp.clip(cx.astype(jnp.int32), 0, w - 1)
+        cj = jnp.clip(cy.astype(jnp.int32), 0, h - 1)
+        # flat index into (H, W, A); invalid → trash slot h*w*na
+        flat_idx = (cj * w + ci) * na + best_sub
+        flat_idx = jnp.where(sel, flat_idx, h * w * na)     # (B, M)
+
+        anc = jnp.asarray(ANCHORS[li], jnp.float32)          # (3, 2)
+        t_xy = jnp.stack([cx - jnp.floor(cx), cy - jnp.floor(cy)], -1)  # (B,M,2)
+        sub_anc = anc[best_sub]                              # (B, M, 2)
+        t_wh = jnp.log(jnp.maximum(gt_boxes[..., 2:4] / sub_anc, 1e-9))
+        w_box = 2.0 - (gt_boxes[..., 2] * gt_boxes[..., 3]) / float(input_size) ** 2
+
+        def scatter(vals, shape_tail):
+            """Scatter per-GT values into the flat (N+1, ...) grid."""
+            out = jnp.zeros((bb, n + 1) + shape_tail, jnp.float32)
+            bidx = jnp.arange(bb)[:, None].repeat(m, 1)
+            return out.at[bidx, flat_idx].set(vals)[:, :n]
+
+        obj_tgt = scatter(jnp.ones((bb, m)), ())
+        assigned = obj_tgt > 0                               # (B, N)
+        xy_tgt = scatter(t_xy, (2,))
+        wh_tgt = scatter(t_wh, (2,))
+        wbox = scatter(w_box, ())
+        cls_tgt = scatter(jax.nn.one_hot(gt_classes, num_classes), (num_classes,))
+
+        flat_raw = raw.reshape(bb, n, 5 + num_classes)
+        ignore = jax.lax.dynamic_slice_in_dim(ignore_flat, offset, n, axis=1)
+
+        obj_bce = _bce(flat_raw[..., 4], assigned.astype(jnp.float32))
+        obj_mask = assigned | ~ignore  # positives always count; ignored negs drop
+        total_obj += jnp.sum(obj_bce * obj_mask)
+
+        xy_bce = jnp.sum(_bce(flat_raw[..., 0:2], xy_tgt), -1)
+        wh_mse = jnp.sum((flat_raw[..., 2:4] - wh_tgt) ** 2, -1) * 0.5
+        total_box += jnp.sum((xy_bce + wh_mse) * wbox * assigned)
+
+        cls_bce = jnp.sum(_bce(flat_raw[..., 5:], cls_tgt), -1)
+        total_cls += jnp.sum(cls_bce * assigned)
+        num_pos_total += jnp.sum(assigned)
+        offset += n
+
+    norm = jnp.maximum(num_pos_total, 1.0)
+    losses = {
+        "obj": total_obj / (b if b else 1),
+        "box": total_box / norm,
+        "cls": total_cls / norm,
+    }
+    losses["total"] = losses["obj"] + losses["box"] + losses["cls"]
+    return losses

@@ -1,0 +1,154 @@
+"""Static-shape greedy NMS for TPU.
+
+The reference dispatches to `torchvision.ops.nms` (C++/CUDA greedy
+suppress loop with data-dependent shapes) [recalled; SURVEY.md §2.8].
+That shape-dynamic pattern cannot live inside an XLA graph, so the
+TPU-native design is (SURVEY.md §7):
+
+    dense decode → padded top-k pre-select (fixed K) →
+    blocked greedy NMS over the K boxes → fixed max_dets rows + mask.
+
+Greedy NMS is inherently sequential, but only *between* boxes that
+survive. The blocked formulation keeps the sequential chain short:
+process boxes (sorted by score desc) in blocks of B. Within a block,
+resolve suppression with a B-step `lax.fori_loop`; then one vectorized
+(B × K) IoU mask application suppresses all later boxes at once. Total
+sequential depth is K/B outer steps instead of K.
+
+Two implementations with identical semantics:
+  * `nms_padded` — pure jax/lax (runs everywhere; the oracle).
+  * `mydetection_tpu.ops.pallas.nms_kernel.nms_pallas` — Pallas kernel
+    (VMEM-resident IoU tiles); validated against the oracle in tests.
+
+Class-wise NMS uses the classic coordinate-offset trick: shift each
+class's boxes by `class_id * OFFSET` so cross-class pairs never overlap
+— one kernel serves all classes (SURVEY.md §7 hard-part #1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu.ops.boxes import pairwise_iou
+
+CLASS_OFFSET = 8192.0  # > any input_size; guarantees class separation
+NEG_INF = -1e30
+
+
+def _blocked_greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray,
+                         iou_thres: float, block: int) -> jnp.ndarray:
+    """Keep-mask for score-sorted xyxy `boxes` (K, 4) with validity mask.
+
+    K must be a multiple of `block`. Returns bool (K,).
+    """
+    k = boxes.shape[0]
+    assert k % block == 0, (k, block)
+    num_blocks = k // block
+    iou = pairwise_iou(boxes, boxes)  # (K, K)
+    idx = jnp.arange(k)
+
+    def outer(b, keep):
+        start = b * block
+        blk_rows = jax.lax.dynamic_slice(iou, (start, 0), (block, k))  # (B, K)
+        blk_keep0 = jax.lax.dynamic_slice(keep, (start,), (block,))
+        # Intra-block sequential resolve: box i suppresses later in-block
+        # boxes with IoU > thres, but only if i itself is still kept.
+        intra = jax.lax.dynamic_slice(blk_rows, (0, start), (block, block))
+
+        def inner(i, bk):
+            row = intra[i]
+            sup = (row > iou_thres) & (jnp.arange(block) > i) & bk[i]
+            return bk & ~sup
+
+        blk_keep = jax.lax.fori_loop(0, block, inner, blk_keep0)
+        # Apply resolved block to ALL later boxes in one vectorized pass.
+        sup_any = jnp.any(blk_rows * blk_keep[:, None].astype(iou.dtype) > iou_thres, axis=0)
+        later = idx >= (start + block)
+        keep = keep & ~(sup_any & later)
+        keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
+        return keep
+
+    keep = jax.lax.fori_loop(0, num_blocks, outer, valid)
+    return keep & valid
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "block"))
+def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+               iou_thres: float = 0.45, block: int = 128) -> jnp.ndarray:
+    """Greedy NMS over score-sorted padded boxes. Pure-jax oracle.
+
+    Args:
+      boxes:  (K, 4) xyxy, sorted by descending score.
+      scores: (K,) — padding rows carry score <= NEG_INF/2.
+    Returns bool keep mask (K,).
+    """
+    valid = scores > NEG_INF / 2
+    return _blocked_greedy_keep(boxes, valid, iou_thres, block)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "block"))
+def batched_class_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      classes: jnp.ndarray, *, iou_thres: float = 0.45,
+                      block: int = 128) -> jnp.ndarray:
+    """Per-class NMS via the class-offset trick. Shapes as `nms_padded`."""
+    offset_boxes = boxes + (classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
+    return nms_padded(offset_boxes, scores, iou_thres=iou_thres, block=block)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "pre_nms", "max_dets",
+                                             "block", "use_pallas"))
+def postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+                conf_thres: float, iou_thres: float,
+                pre_nms: int = 1024, max_dets: int = 100,
+                block: int = 128, use_pallas: bool = False) -> dict:
+    """Dense predictions → final padded detections. Fully static shapes.
+
+    This replaces the reference's host-side `conf filter → per-class NMS`
+    (data-dependent shapes, SURVEY.md §3.2) with an in-graph pipeline:
+
+      1. flatten (N boxes × C classes) scores,
+      2. top-`pre_nms` (box, class) pairs,
+      3. class-offset greedy NMS,
+      4. top-`max_dets` kept rows + validity mask.
+
+    Args:
+      boxes:  (N, 4) xyxy in network coords.
+      scores: (N, C) final per-class scores (already obj*cls etc.).
+    Returns dict of (max_dets,...) arrays: boxes, scores, classes, valid.
+    """
+    n, c = scores.shape
+    flat = scores.reshape(-1)  # (N*C,)
+    flat = jnp.where(flat >= conf_thres, flat, NEG_INF)
+    k = min(pre_nms, n * c)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    if k < pre_nms:  # pad up to static pre_nms
+        pad = pre_nms - k
+        top_scores = jnp.concatenate([top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
+    box_idx = top_idx // c
+    cls_idx = (top_idx % c).astype(jnp.int32)
+    sel_boxes = boxes[box_idx]  # (pre_nms, 4)
+
+    if use_pallas:
+        from mydetection_tpu.ops.pallas.nms_kernel import nms_pallas
+        offset = sel_boxes + (cls_idx.astype(sel_boxes.dtype) * CLASS_OFFSET)[:, None]
+        keep = nms_pallas(offset, top_scores, iou_thres=iou_thres, block=block)
+    else:
+        keep = batched_class_nms(sel_boxes, top_scores, cls_idx,
+                                 iou_thres=iou_thres, block=block)
+
+    final_scores = jnp.where(keep, top_scores, NEG_INF)
+    out_scores, order = jax.lax.top_k(final_scores, max_dets)
+    out_valid = out_scores > NEG_INF / 2
+    out_boxes = sel_boxes[order]
+    out_classes = cls_idx[order]
+    zero = jnp.zeros_like(out_scores)
+    return {
+        "boxes": jnp.where(out_valid[:, None], out_boxes, 0.0),
+        "scores": jnp.where(out_valid, out_scores, zero),
+        "classes": jnp.where(out_valid, out_classes, -1),
+        "valid": out_valid,
+    }

@@ -1,0 +1,143 @@
+"""Model factory: string name → assembled model (the build-by-name surface).
+
+Reference parity: `models/__init__.py` `name_to_model(name)` in
+duanzhiihao/myDetection [recalled; SURVEY.md §2.2] — per-name config
+dicts (anchors, strides, class count, input norm) plus construction.
+Here a model is a frozen config + a bundle of pure functions
+(init / forward_dense / loss); there is no module object to mutate.
+
+`forward_dense` is THE compiled unit: uint8 NHWC batch → dense decoded
+(boxes, scores) still on device, ready for the static postprocess. One
+XLA graph per (model, input-size bucket) [spec].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu.models import darknet
+from mydetection_tpu.models import layers as L
+from mydetection_tpu.models import yolov3
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str
+    family: str
+    num_classes: int = 80
+    input_size: int = 416
+    conf_thres: float = 0.005
+    nms_iou: float = 0.45
+    pre_nms: int = 1024
+    max_dets: int = 100
+    rotated: bool = False
+    compute_dtype: Any = jnp.bfloat16  # conv compute; decode is always f32
+    class_names: tuple[str, ...] | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """A detector family instance: frozen config + pure functions.
+
+    forward_dense(params, images, train=False) →
+        ({"boxes": (B,N,4|5) , "scores": (B,N,C) or (B,N)}, bn_updates)
+    loss(params, images, gt_boxes, gt_classes, gt_valid) → dict of scalars
+    """
+
+    config: ModelConfig
+    init: Callable[[jax.Array], dict]
+    forward_dense: Callable[..., tuple[dict, dict | None]]
+    loss: Callable[..., dict]
+
+
+_REGISTRY: dict[str, Callable[[ModelConfig], Model]] = {}
+_CONFIGS: dict[str, ModelConfig] = {}
+
+
+def register(name: str, config: ModelConfig):
+    def deco(builder: Callable[[ModelConfig], Model]):
+        _REGISTRY[name] = builder
+        _CONFIGS[name] = config
+        return builder
+    return deco
+
+
+def list_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def get_model(name: str, **overrides) -> Model:
+    """Build a model by name — the reference's `name_to_model` surface.
+
+    Keyword overrides patch the registered config (e.g.
+    `get_model('yolov3', input_size=608, compute_dtype=jnp.float32)`).
+    """
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model '{name}'; available: {list_models()}")
+    cfg = dataclasses.replace(_CONFIGS[name], **overrides)
+    return _REGISTRY[name](cfg)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv3
+# ---------------------------------------------------------------------------
+
+def _build_yolov3(cfg: ModelConfig) -> Model:
+    nc = cfg.num_classes
+
+    def init(rng: jax.Array) -> dict:
+        ks = jax.random.split(rng, 2)
+        return {"backbone": darknet.init(ks[0]), "head": yolov3.init(ks[1], nc)}
+
+    def forward_dense(params, images, *, train: bool = False):
+        """images: uint8 or float NHWC. Returns dense (boxes, scores)."""
+        x = images
+        if x.dtype == jnp.uint8:
+            x = L.normalize_input(x, cfg.compute_dtype)
+        else:
+            x = x.astype(cfg.compute_dtype)
+        feats, bu = darknet.apply(params["backbone"], x, train=train,
+                                  compute_dtype=cfg.compute_dtype)
+        raw, hu = yolov3.apply(params["head"], feats, train=train,
+                               compute_dtype=cfg.compute_dtype)
+        decoded = yolov3.decode(raw, nc)
+        from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
+        dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),  # xyxy for NMS
+                 "scores": yolov3.scores_from(decoded)}
+        updates = None
+        if train:
+            updates = {"backbone": bu, "head": hu}
+        return dense, updates
+
+    def forward_raw(params, images, *, train: bool = False):
+        x = images
+        if x.dtype == jnp.uint8:
+            x = L.normalize_input(x, cfg.compute_dtype)
+        else:
+            x = x.astype(cfg.compute_dtype)
+        feats, bu = darknet.apply(params["backbone"], x, train=train,
+                                  compute_dtype=cfg.compute_dtype)
+        raw, hu = yolov3.apply(params["head"], feats, train=train,
+                               compute_dtype=cfg.compute_dtype)
+        return raw, ({"backbone": bu, "head": hu} if train else None)
+
+    def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
+             input_size: int | None = None):
+        raw, updates = forward_raw(params, images, train=True)
+        terms = yolov3.loss(None, raw, gt_boxes, gt_classes, gt_valid,
+                            input_size=input_size or cfg.input_size,
+                            num_classes=nc)
+        terms["bn_updates"] = updates
+        return terms
+
+    return Model(config=cfg, init=init, forward_dense=forward_dense, loss=loss)
+
+
+register("yolov3", ModelConfig(name="yolov3", family="yolov3",
+                               num_classes=80, input_size=416))(_build_yolov3)
+register("yolov3_608", ModelConfig(name="yolov3_608", family="yolov3",
+                                   num_classes=80, input_size=608))(_build_yolov3)

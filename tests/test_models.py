@@ -1,0 +1,118 @@
+"""Model component tests: shapes, decode math golden values, loss
+gradients (SURVEY.md §4.1 golden decode; §4 strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mydetection_tpu.models import darknet, yolov3
+from mydetection_tpu.registry import get_model
+
+
+def test_darknet_feature_shapes():
+    params = darknet.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    (c3, c4, c5), updates = jax.jit(darknet.apply)(params, x)
+    assert c3.shape == (1, 16, 16, 256)
+    assert c4.shape == (1, 8, 8, 512)
+    assert c5.shape == (1, 4, 4, 1024)
+    assert updates is None
+
+
+def test_darknet_train_mode_returns_bn_updates():
+    params = darknet.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    _, updates = jax.jit(lambda p, v: darknet.apply(p, v, train=True))(params, x)
+    assert "stem" in updates and "mean" in updates["stem"]["bn"]
+    # batch stats moved toward the data (input mean 1, post-conv nonzero)
+    assert not np.allclose(np.asarray(updates["stem"]["bn"]["mean"]), 0.0)
+
+
+def test_yolo_head_output_shapes():
+    nc = 80
+    hp = yolov3.init(jax.random.PRNGKey(1), nc)
+    c3 = jnp.zeros((1, 52, 52, 256))
+    c4 = jnp.zeros((1, 26, 26, 512))
+    c5 = jnp.zeros((1, 13, 13, 1024))
+    raw, _ = jax.jit(yolov3.apply)(hp, (c3, c4, c5))
+    assert raw[0].shape == (1, 13, 13, 3 * 85)
+    assert raw[1].shape == (1, 26, 26, 3 * 85)
+    assert raw[2].shape == (1, 52, 52, 3 * 85)
+    decoded = yolov3.decode(raw, nc)
+    n = (13 * 13 + 26 * 26 + 52 * 52) * 3
+    assert decoded["boxes"].shape == (1, n, 4)
+    assert decoded["obj"].shape == (1, n)
+    assert decoded["cls"].shape == (1, n, nc)
+
+
+def test_decode_golden_values():
+    """Bit-level decode check against hand-computed values
+    (SURVEY.md §4.1: grid/anchor box decode for fixed raw logits)."""
+    nc = 2
+    h = w = 2
+    raw = np.zeros((1, h, w, 3 * (5 + nc)), np.float32)
+    # cell (y=1, x=0), anchor 0 of P5 (116, 90), stride 32
+    raw[0, 1, 0, 0:7] = [0.0, 0.5, np.log(2.0), 0.0, 2.0, -1.0, 1.0]
+    out = yolov3.decode_level(jnp.asarray(raw), yolov3.ANCHORS[0], 32, nc)
+    i = (1 * w + 0) * 3 + 0  # flat index of (y=1, x=0, a=0)
+    box = np.asarray(out["boxes"])[0, i]
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    np.testing.assert_allclose(box[0], (sig(0.0) + 0) * 32, rtol=1e-6)   # cx
+    np.testing.assert_allclose(box[1], (sig(0.5) + 1) * 32, rtol=1e-6)   # cy
+    np.testing.assert_allclose(box[2], 2.0 * 116, rtol=1e-6)             # w
+    np.testing.assert_allclose(box[3], 1.0 * 90, rtol=1e-6)              # h
+    np.testing.assert_allclose(np.asarray(out["obj"])[0, i], sig(2.0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["cls"])[0, i],
+                               [sig(-1.0), sig(1.0)], rtol=1e-6)
+
+
+def test_loss_finite_and_differentiable():
+    model = get_model("yolov3", input_size=128, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    # Random (not all-zero) images: constant input gives every BN layer
+    # zero batch variance, whose backward amplifies cotangents by
+    # rsqrt(eps) per layer until float32 overflow -> inf*0 NaN. That
+    # degenerate regime is shared with the reference's torch BN and is
+    # not a real training state.
+    images = jax.random.uniform(jax.random.PRNGKey(5), (1, 128, 128, 3))
+    gt_boxes = jnp.asarray([[[64, 64, 40, 30], [20, 100, 16, 16]]], jnp.float32)
+    gt_classes = jnp.asarray([[3, 7]], jnp.int32)
+    gt_valid = jnp.asarray([[True, True]])
+
+    def scalar_loss(p):
+        terms = model.loss(p, images, gt_boxes, gt_classes, gt_valid,
+                           input_size=128)
+        return terms["total"]
+
+    val, grads = jax.jit(jax.value_and_grad(scalar_loss))(params)
+    assert np.isfinite(float(val))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_loss_zero_when_no_gt_positives_cls_box():
+    model = get_model("yolov3", input_size=128, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    gt_boxes = jnp.zeros((1, 2, 4), jnp.float32)
+    gt_classes = jnp.zeros((1, 2), jnp.int32)
+    gt_valid = jnp.zeros((1, 2), bool)
+    terms = jax.jit(lambda p, x, b, c, v: model.loss(p, x, b, c, v,
+                                                     input_size=128))(
+        params, images, gt_boxes, gt_classes, gt_valid)
+    assert float(terms["box"]) == 0.0
+    assert float(terms["cls"]) == 0.0
+    assert float(terms["obj"]) > 0.0  # background objectness BCE remains
+
+
+def test_forward_dense_uint8_entry():
+    model = get_model("yolov3", input_size=128, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    imgs = jnp.zeros((2, 128, 128, 3), jnp.uint8)
+    dense, updates = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
+    n = (4 * 4 + 8 * 8 + 16 * 16) * 3
+    assert dense["boxes"].shape == (2, n, 4)
+    assert dense["scores"].shape == (2, n, 80)
+    assert updates is None
+    assert np.isfinite(np.asarray(dense["boxes"])).all()

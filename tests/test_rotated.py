@@ -1,0 +1,120 @@
+"""Rotated IoU vs a numpy rasterization oracle (SURVEY.md §7 hard-part
+5: "validate against a numpy rasterization oracle in tests")."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mydetection_tpu.ops.nms import NEG_INF
+from mydetection_tpu.ops.rotated import (
+    box_corners,
+    pairwise_rotated_iou,
+    rotated_iou,
+    rotated_nms_padded,
+    rotated_postprocess,
+)
+
+
+def raster_iou(a, b, res=400):
+    """Rasterization oracle (the reference's approach, used here only
+    as a test oracle)."""
+    import cv2
+
+    pts = np.concatenate([np.asarray(box_corners(jnp.asarray(a))),
+                          np.asarray(box_corners(jnp.asarray(b)))])
+    lo = pts.reshape(-1, 2).min(0) - 2
+    hi = pts.reshape(-1, 2).max(0) + 2
+    scale = res / max(hi - lo)
+
+    def mask(box):
+        c = (np.asarray(box_corners(jnp.asarray(box))) - lo) * scale
+        m = np.zeros((res, res), np.uint8)
+        cv2.fillPoly(m, [c.astype(np.int32)], 1)
+        return m
+
+    ma, mb = mask(a), mask(b)
+    inter = np.logical_and(ma, mb).sum()
+    union = np.logical_or(ma, mb).sum()
+    return inter / max(union, 1)
+
+
+def test_axis_aligned_matches_axis_iou():
+    a = jnp.array([0.0, 0, 20, 10, 0])   # cx,cy,w,h,theta
+    b = jnp.array([5.0, 0, 20, 10, 0])
+    # overlap: x in [-5,10] w=15, y h=10 -> inter 150, union 400-150=250
+    np.testing.assert_allclose(float(rotated_iou(a, b)), 150 / 250, atol=1e-5)
+
+
+def test_identical_boxes_rotated():
+    a = jnp.array([3.0, -2, 8, 4, 0.7])
+    assert float(rotated_iou(a, a)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_disjoint():
+    a = jnp.array([0.0, 0, 4, 4, 0.3])
+    b = jnp.array([100.0, 100, 4, 4, 1.0])
+    assert float(rotated_iou(a, b)) == 0.0
+
+
+def test_90_degree_cross():
+    # two elongated boxes crossing at right angles through the origin
+    a = jnp.array([0.0, 0, 20, 4, 0])
+    b = jnp.array([0.0, 0, 20, 4, np.pi / 2])
+    # intersection = 4x4 = 16, union = 80+80-16 = 144
+    np.testing.assert_allclose(float(rotated_iou(a, b)), 16 / 144, atol=1e-5)
+
+
+def test_contained_box():
+    a = jnp.array([0.0, 0, 20, 20, 0.2])
+    b = jnp.array([0.0, 0, 4, 4, 0.9])  # fully inside a
+    np.testing.assert_allclose(float(rotated_iou(a, b)), 16 / 400, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_vs_rasterization(seed):
+    rng = np.random.RandomState(seed)
+    a = np.array([*rng.uniform(-5, 5, 2), *rng.uniform(5, 20, 2),
+                  rng.uniform(-np.pi, np.pi)], np.float32)
+    b = np.array([*rng.uniform(-5, 5, 2), *rng.uniform(5, 20, 2),
+                  rng.uniform(-np.pi, np.pi)], np.float32)
+    got = float(rotated_iou(jnp.asarray(a), jnp.asarray(b)))
+    expect = raster_iou(a, b)
+    assert got == pytest.approx(expect, abs=0.02)
+
+
+def test_pairwise_shape_and_symmetry(rng):
+    a = np.column_stack([rng.uniform(-5, 5, (8, 2)), rng.uniform(5, 15, (8, 2)),
+                         rng.uniform(-1.5, 1.5, 8)]).astype(np.float32)
+    m = np.asarray(pairwise_rotated_iou(jnp.asarray(a), jnp.asarray(a)))
+    assert m.shape == (8, 8)
+    np.testing.assert_allclose(m, m.T, atol=1e-4)
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-4)
+
+
+def test_rotated_nms():
+    k = 64
+    boxes = np.zeros((k, 5), np.float32)
+    scores = np.full(k, NEG_INF, np.float32)
+    boxes[0] = [50, 50, 30, 10, 0.3]; scores[0] = 0.9
+    boxes[1] = [51, 51, 30, 10, 0.32]; scores[1] = 0.8   # near-dup -> suppressed
+    boxes[2] = [150, 150, 30, 10, 1.0]; scores[2] = 0.7  # far -> kept
+    keep = np.asarray(rotated_nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                         iou_thres=0.3, block=32))
+    assert keep[:3].tolist() == [True, False, True]
+    assert not keep[3:].any()
+
+
+def test_rotated_postprocess():
+    n = 200
+    boxes = np.zeros((n, 5), np.float32)
+    scores = np.zeros(n, np.float32)
+    boxes[0] = [100, 100, 40, 20, 0.5]; scores[0] = 0.95
+    boxes[1] = [101, 100, 40, 20, 0.5]; scores[1] = 0.90
+    boxes[2] = [300, 300, 40, 20, -0.5]; scores[2] = 0.85
+    out = rotated_postprocess(jnp.asarray(boxes), jnp.asarray(scores),
+                              conf_thres=0.3, iou_thres=0.4,
+                              pre_nms=64, max_dets=10, block=32)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 2
+    np.testing.assert_allclose(np.asarray(out["boxes"])[0], boxes[0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["boxes"])[1], boxes[2], atol=1e-5)
