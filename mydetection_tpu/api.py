@@ -28,8 +28,8 @@ import numpy as np
 from PIL import Image
 
 from mydetection_tpu import checkpoint as ckpt_lib
-from mydetection_tpu.ops.nms import postprocess
-from mydetection_tpu.ops.rotated import rotated_postprocess
+from mydetection_tpu.ops.nms import postprocess_impl
+from mydetection_tpu.ops.rotated import rotated_postprocess_impl
 from mydetection_tpu.registry import Model, get_model
 from mydetection_tpu.utils.image_ops import (
     LetterboxInfo,
@@ -122,40 +122,55 @@ class Detector:
     # -- compiled pipeline -------------------------------------------------
 
     def _pipeline(self, input_size: int):
-        """Two jitted stages: forward_dense, then padded postprocess.
+        """The compiled detect pipeline for one input-size bucket.
 
-        Kept as separate XLA graphs deliberately: fusing the conv stack
-        with the vmapped top-k/NMS graph sends XLA compile time from
-        ~17 s to >5 min on TPU (measured), with no warm-path win — the
-        dense intermediates stay device-resident between the two
-        dispatches either way.
+        On TPU (Pallas NMS): ONE fused XLA graph — uint8 batch in,
+        padded detections out. Fusing matters doubly here: the axon
+        remote-TPU transport materializes every executable's outputs on
+        the host, so a split pipeline would round-trip the ~115 MB
+        dense (boxes, scores) tensor per batch-32 call. With the NMS as
+        an opaque Pallas kernel the fused graph compiles in ~18 s.
+
+        On CPU (oracle NMS): two jitted stages. The pure-jax blocked
+        NMS fused with the conv stack sends XLA:CPU compile time past
+        4 minutes (measured 264 s); split graphs compile in ~17 s total
+        and cost nothing extra since buffers share host memory.
         """
         key = (input_size, self.use_pallas)
         if key in self._jitted:
             return self._jitted[key]
         model, cfg, use_pallas = self.model, self.cfg, self.use_pallas
 
-        fwd = jax.jit(lambda params, images: model.forward_dense(params, images)[0])
-
-        @functools.partial(jax.jit, static_argnames=("nms_iou",))
-        def post_batch(boxes, scores, conf_thres, nms_iou):
+        def post_one(b, s, conf_thres, nms_iou):
             if cfg.rotated:
-                def post(b, s):
-                    return rotated_postprocess(
-                        b, s, conf_thres=conf_thres, iou_thres=nms_iou,
-                        pre_nms=cfg.pre_nms, max_dets=cfg.max_dets)
-            else:
-                def post(b, s):
-                    return postprocess(
-                        b, s, conf_thres=conf_thres, iou_thres=nms_iou,
-                        pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
-                        use_pallas=use_pallas)
-            return jax.vmap(post)(boxes, scores)
+                return rotated_postprocess_impl(
+                    b, s, conf_thres=conf_thres, iou_thres=nms_iou,
+                    pre_nms=cfg.pre_nms, max_dets=cfg.max_dets)
+            return postprocess_impl(
+                b, s, conf_thres=conf_thres, iou_thres=nms_iou,
+                pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
+                use_pallas=use_pallas)
 
-        def run(params, images_u8, conf_thres, nms_iou):
-            dense = fwd(params, images_u8)
-            return post_batch(dense["boxes"], dense["scores"], conf_thres,
-                              nms_iou=nms_iou)
+        if use_pallas:
+            @functools.partial(jax.jit, static_argnames=("nms_iou",))
+            def run(params, images_u8, conf_thres, nms_iou):
+                dense, _ = model.forward_dense(params, images_u8)
+                return jax.vmap(
+                    lambda b, s: post_one(b, s, conf_thres, nms_iou)
+                )(dense["boxes"], dense["scores"])
+        else:
+            fwd = jax.jit(lambda params, images: model.forward_dense(params, images)[0])
+
+            @functools.partial(jax.jit, static_argnames=("nms_iou",))
+            def post_batch(boxes, scores, conf_thres, nms_iou):
+                return jax.vmap(
+                    lambda b, s: post_one(b, s, conf_thres, nms_iou)
+                )(boxes, scores)
+
+            def run(params, images_u8, conf_thres, nms_iou):
+                dense = fwd(params, images_u8)
+                return post_batch(dense["boxes"], dense["scores"], conf_thres,
+                                  nms_iou=nms_iou)
 
         self._jitted[key] = run
         return run

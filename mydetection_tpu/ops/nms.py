@@ -75,8 +75,7 @@ def _blocked_greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray,
     return keep & valid
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "block"))
-def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+def nms_padded_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                iou_thres: float = 0.45, block: int = 128) -> jnp.ndarray:
     """Greedy NMS over score-sorted padded boxes. Pure-jax oracle.
 
@@ -89,21 +88,25 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     return _blocked_greedy_keep(boxes, valid, iou_thres, block)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "block"))
-def batched_class_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
-                      classes: jnp.ndarray, *, iou_thres: float = 0.45,
-                      block: int = 128) -> jnp.ndarray:
+def batched_class_nms_impl(boxes: jnp.ndarray, scores: jnp.ndarray,
+                           classes: jnp.ndarray, *, iou_thres: float = 0.45,
+                           block: int = 128) -> jnp.ndarray:
     """Per-class NMS via the class-offset trick. Shapes as `nms_padded`."""
     offset_boxes = boxes + (classes.astype(boxes.dtype) * CLASS_OFFSET)[:, None]
-    return nms_padded(offset_boxes, scores, iou_thres=iou_thres, block=block)
+    return nms_padded_impl(offset_boxes, scores, iou_thres=iou_thres, block=block)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "pre_nms", "max_dets",
-                                             "block", "use_pallas"))
-def postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
-                conf_thres: float, iou_thres: float,
-                pre_nms: int = 1024, max_dets: int = 100,
-                block: int = 128, use_pallas: bool = False) -> dict:
+# Standalone jitted wrappers. Inside a larger traced graph call the
+# *_impl versions — nested jit explodes XLA compile time.
+nms_padded = jax.jit(nms_padded_impl, static_argnames=("iou_thres", "block"))
+batched_class_nms = jax.jit(batched_class_nms_impl,
+                            static_argnames=("iou_thres", "block"))
+
+
+def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+                     conf_thres: float, iou_thres: float,
+                     pre_nms: int = 1024, max_dets: int = 100,
+                     block: int = 128, use_pallas: bool = False) -> dict:
     """Dense predictions → final padded detections. Fully static shapes.
 
     This replaces the reference's host-side `conf filter → per-class NMS`
@@ -133,12 +136,12 @@ def postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     sel_boxes = boxes[box_idx]  # (pre_nms, 4)
 
     if use_pallas:
-        from mydetection_tpu.ops.pallas.nms_kernel import nms_pallas
+        from mydetection_tpu.ops.pallas.nms_kernel import nms_pallas_impl
         offset = sel_boxes + (cls_idx.astype(sel_boxes.dtype) * CLASS_OFFSET)[:, None]
-        keep = nms_pallas(offset, top_scores, iou_thres=iou_thres, block=block)
+        keep = nms_pallas_impl(offset, top_scores, iou_thres=iou_thres, block=block)
     else:
-        keep = batched_class_nms(sel_boxes, top_scores, cls_idx,
-                                 iou_thres=iou_thres, block=block)
+        keep = batched_class_nms_impl(sel_boxes, top_scores, cls_idx,
+                                      iou_thres=iou_thres, block=block)
 
     final_scores = jnp.where(keep, top_scores, NEG_INF)
     out_scores, order = jax.lax.top_k(final_scores, max_dets)
@@ -152,3 +155,12 @@ def postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         "classes": jnp.where(out_valid, out_classes, -1),
         "valid": out_valid,
     }
+
+
+postprocess = jax.jit(
+    postprocess_impl,
+    static_argnames=("iou_thres", "pre_nms", "max_dets", "block", "use_pallas"),
+)
+# Call `postprocess_impl` (undecorated) when composing into a larger
+# jitted graph — nesting the jitted wrapper inside another trace
+# explodes XLA compile time; `postprocess` is for standalone use.

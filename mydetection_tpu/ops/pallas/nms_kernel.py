@@ -102,8 +102,7 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float, block: int)
     jax.lax.fori_loop(0, num_blocks, outer, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "block", "interpret"))
-def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+def nms_pallas_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                iou_thres: float = 0.45, block: int = 128,
                interpret: bool = False) -> jnp.ndarray:
     """Greedy NMS keep-mask via a Pallas kernel.
@@ -128,3 +127,7 @@ def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         interpret=interpret,
     )(boxes_t, valid)
     return keep[0] > 0.5
+
+
+nms_pallas = jax.jit(nms_pallas_impl,
+                     static_argnames=("iou_thres", "block", "interpret"))

@@ -118,8 +118,7 @@ def rotated_intersection_area(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.nda
     return jnp.where(cnt >= 3, area, 0.0)
 
 
-@jax.jit
-def rotated_iou(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
+def rotated_iou_impl(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
     """Elementwise rotated IoU, boxes (..., 5) -> (...)."""
     inter = rotated_intersection_area(box_a, box_b)
     area_a = box_a[..., 2] * box_a[..., 3]
@@ -127,23 +126,26 @@ def rotated_iou(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(area_a + area_b - inter, EPS)
 
 
-@jax.jit
-def pairwise_rotated_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_rotated_iou_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Rotated IoU matrix (N, 5) x (M, 5) -> (N, M)."""
     n, m = a.shape[0], b.shape[0]
     aa = jnp.broadcast_to(a[:, None, :], (n, m, 5))
     bb = jnp.broadcast_to(b[None, :, :], (n, m, 5))
-    return rotated_iou(aa, bb)
+    return rotated_iou_impl(aa, bb)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "block"))
-def rotated_nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+# Standalone jitted wrappers; use *_impl inside larger traced graphs.
+rotated_iou = jax.jit(rotated_iou_impl)
+pairwise_rotated_iou = jax.jit(pairwise_rotated_iou_impl)
+
+
+def rotated_nms_padded_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                        iou_thres: float = 0.45, block: int = 64) -> jnp.ndarray:
     """Blocked greedy NMS with rotated IoU. boxes (K, 5) score-sorted."""
     k = boxes.shape[0]
     assert k % block == 0, (k, block)
     valid = scores > NEG_INF / 2
-    iou = pairwise_rotated_iou(boxes, boxes)
+    iou = pairwise_rotated_iou_impl(boxes, boxes)
     idx = jnp.arange(k)
 
     def outer(b, keep):
@@ -165,9 +167,7 @@ def rotated_nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     return keep & valid
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "pre_nms", "max_dets",
-                                             "block"))
-def rotated_postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+def rotated_postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                         conf_thres: float, iou_thres: float,
                         pre_nms: int = 512, max_dets: int = 100,
                         block: int = 64) -> dict:
@@ -185,7 +185,7 @@ def rotated_postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         top_scores = jnp.concatenate([top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
         top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
     sel = boxes[top_idx]
-    keep = rotated_nms_padded(sel, top_scores, iou_thres=iou_thres, block=block)
+    keep = rotated_nms_padded_impl(sel, top_scores, iou_thres=iou_thres, block=block)
     final = jnp.where(keep, top_scores, NEG_INF)
     out_scores, order = jax.lax.top_k(final, max_dets)
     out_valid = out_scores > NEG_INF / 2
@@ -196,3 +196,10 @@ def rotated_postprocess(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         "classes": jnp.where(out_valid, 0, -1),
         "valid": out_valid,
     }
+
+
+rotated_nms_padded = jax.jit(rotated_nms_padded_impl,
+                             static_argnames=("iou_thres", "block"))
+rotated_postprocess = jax.jit(
+    rotated_postprocess_impl,
+    static_argnames=("iou_thres", "pre_nms", "max_dets", "block"))
