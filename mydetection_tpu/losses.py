@@ -1,0 +1,72 @@
+"""Shared loss functions: BCE, focal, smooth-L1, IoU losses, periodic
+angle loss.
+
+Reference parity: `models/losses.py` in duanzhiihao/myDetection
+[recalled; SURVEY.md §2.13] — BCE (obj/cls), focal loss
+(RetinaNet/FCOS), IoU/GIoU box losses, smooth-L1, and RAPiD's periodic
+angle loss handling the θ ↔ θ+π symmetry (arXiv 2005.11623).
+
+All functions are elementwise/pure and jit-safe; reductions are the
+caller's job (heads own their loss — SURVEY.md §3.3 idiom).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mydetection_tpu.ops.boxes import elementwise_giou, elementwise_iou
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable sigmoid binary cross-entropy, elementwise."""
+    return (jnp.maximum(logits, 0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray, *,
+               alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """Sigmoid focal loss (RetinaNet, arXiv 1708.02002), elementwise.
+
+    targets ∈ {0, 1}; returns per-element loss (no reduction).
+    """
+    ce = bce_with_logits(logits, targets)   # = -log p_t
+    p_t = jnp.exp(-ce)
+    alpha_t = jnp.where(targets > 0.5, alpha, 1.0 - alpha)
+    return alpha_t * (1.0 - p_t) ** gamma * ce
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, *,
+              beta: float = 1.0 / 9.0) -> jnp.ndarray:
+    """Huber/smooth-L1, elementwise (RetinaNet box regression default)."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff ** 2 / beta, diff - 0.5 * beta)
+
+
+def iou_loss(pred_xyxy: jnp.ndarray, target_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """-log IoU loss (FCOS UnitBox-style), per box pair (...,)."""
+    iou = elementwise_iou(pred_xyxy, target_xyxy)
+    return -jnp.log(jnp.clip(iou, 1e-8, 1.0))
+
+
+def giou_loss(pred_xyxy: jnp.ndarray, target_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """1 - GIoU, per box pair (...,)."""
+    return 1.0 - elementwise_giou(pred_xyxy, target_xyxy)
+
+
+def period_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              period: float = jnp.pi) -> jnp.ndarray:
+    """Periodic L1: distance on the circle of the given period.
+
+    RAPiD's angle loss [recalled; SURVEY.md §2.7b]: a rotated box is
+    identical under θ → θ+π, so the loss is min over the symmetry:
+        L = |((pred - target + p/2) mod p) - p/2|.
+    """
+    diff = jnp.mod(pred - target + period / 2.0, period) - period / 2.0
+    return jnp.abs(diff)
+
+
+def period_l2(pred: jnp.ndarray, target: jnp.ndarray,
+              period: float = jnp.pi) -> jnp.ndarray:
+    """Periodic squared error (see period_l1)."""
+    diff = jnp.mod(pred - target + period / 2.0, period) - period / 2.0
+    return 0.5 * diff ** 2

@@ -1,0 +1,226 @@
+"""FCOS head: anchor-free per-pixel regression + centerness.
+
+Reference parity: `models/fcos.py` in duanzhiihao/myDetection
+[recalled; SURVEY.md §2.7] — FCOS (arXiv 1904.01355): per-location
+(l, t, r, b) distance regression, a centerness branch, per-level
+learnable scalar scales, group-norm conv towers, focal classification
+loss, IoU box loss, center-sampling target assignment. No anchor
+tables anywhere [spec].
+
+TPU-native: locations are a static constant per input size; target
+assignment is one vectorized (B, N, M) candidate tensor (inside-box ∧
+center-sample ∧ level-range, min-area tie-break) — no loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu.losses import bce_with_logits, focal_loss, giou_loss
+from mydetection_tpu.models.layers import KeyGen, Params, conv2d, conv_init
+from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
+
+STRIDES = (8, 16, 32, 64, 128)
+# per-level regression range for max(l,t,r,b)
+LEVEL_RANGES = ((0, 64), (64, 128), (128, 256), (256, 512), (512, 1e8))
+PRIOR_PROB = 0.01
+CENTER_RADIUS = 1.5  # center-sampling radius in stride units
+GN_GROUPS = 32
+
+
+def level_shapes(input_size: int) -> list[tuple[int, int]]:
+    return [(math.ceil(input_size / s), math.ceil(input_size / s))
+            for s in STRIDES]
+
+
+def generate_locations(input_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All pyramid locations: ((N, 2) xy pixels, (N,) stride per loc)."""
+    locs, strides = [], []
+    for stride, (h, w) in zip(STRIDES, level_shapes(input_size)):
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        xy = jnp.stack([(gx + 0.5) * stride, (gy + 0.5) * stride], -1)
+        locs.append(xy.reshape(-1, 2))
+        strides.append(jnp.full((h * w,), float(stride), jnp.float32))
+    return jnp.concatenate(locs, 0), jnp.concatenate(strides, 0)
+
+
+# ---------------------------------------------------------------------------
+# params + apply
+# ---------------------------------------------------------------------------
+
+def _gn_init(c: int) -> Params:
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def group_norm(x: jnp.ndarray, p: Params, *, groups: int = GN_GROUPS) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    xf = xf.reshape(b, h, w, c)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def init(rng: jax.Array, num_classes: int = 80, *, channels: int = 256) -> Params:
+    keys = KeyGen(rng)
+
+    def tower() -> Params:
+        p: Params = {}
+        for i in range(4):
+            p[f"conv{i}"] = conv_init(keys(), 3, channels, channels, bias=True)
+            p[f"gn{i}"] = _gn_init(channels)
+        return p
+
+    cls_bias = -math.log((1 - PRIOR_PROB) / PRIOR_PROB)
+    p: Params = {
+        "cls_tower": tower(),
+        "box_tower": tower(),
+        "cls_out": conv_init(keys(), 3, channels, num_classes, bias=True),
+        "box_out": conv_init(keys(), 3, channels, 4, bias=True),
+        "ctr_out": conv_init(keys(), 3, channels, 1, bias=True),
+        "scales": jnp.ones((len(STRIDES),), jnp.float32),
+    }
+    p["cls_out"]["b"] = jnp.full((num_classes,), cls_bias, jnp.float32)
+    return p
+
+
+def _tower(p: Params, x, *, compute_dtype):
+    for i in range(4):
+        w = p[f"conv{i}"]
+        x = conv2d(x, w["w"], compute_dtype=compute_dtype)
+        x = x + w["b"].astype(x.dtype)
+        x = group_norm(x, p[f"gn{i}"])
+        x = jnp.maximum(x, 0.0)
+    return x
+
+
+def _head_conv(p: Params, x, *, compute_dtype):
+    y = conv2d(x, p["w"], compute_dtype=compute_dtype)
+    return y + p["b"].astype(y.dtype)
+
+
+def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
+          num_classes: int = 80, compute_dtype=None):
+    """[P3..P7] → (cls (B,N,C), ltrb (B,N,4) px, ctr (B,N)), f32.
+
+    ltrb is already decoded to pixel distances: exp(s_l * raw) * stride
+    keeps regression positive and level-scaled.
+    """
+    cls_f, box_f, ctr_f = [], [], []
+    for li, feat in enumerate(pyramid):
+        b, h, w, _ = feat.shape
+        ct = _tower(params["cls_tower"], feat, compute_dtype=compute_dtype)
+        bt = _tower(params["box_tower"], feat, compute_dtype=compute_dtype)
+        cls = _head_conv(params["cls_out"], ct, compute_dtype=compute_dtype)
+        raw_box = _head_conv(params["box_out"], bt, compute_dtype=compute_dtype)
+        ctr = _head_conv(params["ctr_out"], bt, compute_dtype=compute_dtype)
+        scale = params["scales"][li]
+        ltrb = jnp.exp(jnp.clip(raw_box.astype(jnp.float32) * scale, -10, 10))
+        ltrb = ltrb * float(STRIDES[li])
+        cls_f.append(cls.astype(jnp.float32).reshape(b, h * w, num_classes))
+        box_f.append(ltrb.reshape(b, h * w, 4))
+        ctr_f.append(ctr.astype(jnp.float32).reshape(b, h * w))
+    return (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1),
+            jnp.concatenate(ctr_f, 1))
+
+
+def decode(cls_logits, ltrb, ctr_logits, locations):
+    """Head outputs + locations → dense detections.
+
+    Score = cls_prob * centerness_prob (the FCOS ranking score).
+    Returns {"boxes": (B,N,4) xyxy, "scores": (B,N,C)}.
+    """
+    xy = locations[None]
+    boxes = jnp.concatenate([xy - ltrb[..., 0:2], xy + ltrb[..., 2:4]], -1)
+    scores = jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(ctr_logits)[..., None]
+    return {"boxes": boxes, "scores": scores}
+
+
+# ---------------------------------------------------------------------------
+# loss
+# ---------------------------------------------------------------------------
+
+def _assign(locations, strides, gt_xyxy, gt_valid):
+    """Vectorized FCOS target assignment for one batch.
+
+    Returns (positive (B,N), matched_gt (B,N), tgt_ltrb (B,N,4),
+    centerness (B,N)).
+    """
+    x, y = locations[:, 0], locations[:, 1]                   # (N,)
+    x1, y1, x2, y2 = (gt_xyxy[..., i] for i in range(4))      # (B, M)
+    l = x[None, :, None] - x1[:, None, :]                     # (B, N, M)
+    t = y[None, :, None] - y1[:, None, :]
+    r = x2[:, None, :] - x[None, :, None]
+    b = y2[:, None, :] - y[None, :, None]
+    ltrb = jnp.stack([l, t, r, b], -1)                        # (B, N, M, 4)
+    inside = jnp.min(ltrb, -1) > 0
+
+    # center sampling: location within radius*stride of the GT center
+    cx = (x1 + x2) * 0.5
+    cy = (y1 + y2) * 0.5
+    rad = CENTER_RADIUS * strides[None, :, None]
+    near = ((jnp.abs(x[None, :, None] - cx[:, None, :]) < rad)
+            & (jnp.abs(y[None, :, None] - cy[:, None, :]) < rad))
+
+    maxd = jnp.max(ltrb, -1)                                  # (B, N, M)
+    lo = jnp.zeros_like(strides)
+    hi = jnp.zeros_like(strides)
+    for s, (a, c) in zip(STRIDES, LEVEL_RANGES):
+        lo = jnp.where(strides == s, a, lo)
+        hi = jnp.where(strides == s, c, hi)
+    in_range = (maxd >= lo[None, :, None]) & (maxd <= hi[None, :, None])
+
+    candidate = inside & near & in_range & gt_valid[:, None, :]
+    area = (x2 - x1) * (y2 - y1)                              # (B, M)
+    big = jnp.float32(1e18)
+    cand_area = jnp.where(candidate, area[:, None, :], big)
+    matched = jnp.argmin(cand_area, -1)                       # (B, N)
+    positive = jnp.any(candidate, -1)
+
+    tgt = jnp.take_along_axis(ltrb, matched[..., None, None].repeat(4, -1),
+                              axis=2)[:, :, 0, :]             # (B, N, 4)
+    lr = tgt[..., 0::2]
+    tb = tgt[..., 1::2]
+    ctr_tgt = jnp.sqrt(jnp.clip(
+        (jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), 1e-8))
+        * (jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), 1e-8)), 0.0, 1.0))
+    return positive, matched, tgt, ctr_tgt
+
+
+def loss(cls_logits, ltrb_pred, ctr_logits, locations, strides,
+         gt_boxes, gt_classes, gt_valid, *, num_classes: int = 80) -> dict:
+    """Focal(cls) + GIoU(box) + BCE(centerness), FCOS assignment.
+
+    gt_boxes (B, M, 4) cxcywh net pixels, padded with gt_valid.
+    """
+    gt_xyxy = cxcywh_to_xyxy(gt_boxes)
+    positive, matched, tgt_ltrb, ctr_tgt = _assign(
+        locations, strides, gt_xyxy, gt_valid)
+
+    tgt_cls = jnp.take_along_axis(gt_classes, matched, axis=1)
+    cls_onehot = jax.nn.one_hot(tgt_cls, num_classes) * positive[..., None]
+    num_pos = jnp.maximum(jnp.sum(positive), 1.0)
+    cls_loss = jnp.sum(focal_loss(cls_logits, cls_onehot)) / num_pos
+
+    xy = locations[None]
+    pred_xyxy = jnp.concatenate(
+        [xy - ltrb_pred[..., 0:2], xy + ltrb_pred[..., 2:4]], -1)
+    tgt_xyxy = jnp.concatenate(
+        [xy - tgt_ltrb[..., 0:2], xy + tgt_ltrb[..., 2:4]], -1)
+    g = giou_loss(pred_xyxy, tgt_xyxy)                        # (B, N)
+    # centerness-weighted box loss (FCOS normalization)
+    w = ctr_tgt * positive
+    box_loss = jnp.sum(g * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    ctr_bce = bce_with_logits(ctr_logits, ctr_tgt)
+    ctr_loss = jnp.sum(ctr_bce * positive) / num_pos
+
+    return {"cls": cls_loss, "box": box_loss, "ctr": ctr_loss,
+            "total": cls_loss + box_loss + ctr_loss}

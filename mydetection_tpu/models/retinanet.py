@@ -1,0 +1,206 @@
+"""RetinaNet head: anchors, shared subnets, decode, focal loss.
+
+Reference parity: `models/retinanet.py` in duanzhiihao/myDetection
+[recalled; SURVEY.md §2.6] — shared 4-conv class & box subnets over
+P3–P7, A=9 anchors/cell (3 octave scales × 3 aspect ratios), focal
+loss for classification and smooth-L1 for boxes, class-wise NMS at
+decode (arXiv 1708.02002).
+
+TPU-native: anchors are a static per-input-size constant folded into
+the jitted graph; decode is dense/static (all ΣA·H·W boxes) feeding
+the shared padded-top-k + Pallas NMS postprocess; target assignment is
+one vectorized (B, N, M) IoU matrix, no per-image loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu.losses import focal_loss, smooth_l1
+from mydetection_tpu.models.layers import KeyGen, Params, conv2d, conv_init
+from mydetection_tpu.ops.boxes import cxcywh_to_xyxy, pairwise_iou
+
+STRIDES = (8, 16, 32, 64, 128)
+OCTAVE_SCALES = (1.0, 2 ** (1 / 3), 2 ** (2 / 3))
+ASPECT_RATIOS = (0.5, 1.0, 2.0)  # h/w
+NUM_ANCHORS = len(OCTAVE_SCALES) * len(ASPECT_RATIOS)
+DWH_CLAMP = math.log(1000.0 / 16)
+PRIOR_PROB = 0.01
+POS_IOU, NEG_IOU = 0.5, 0.4
+
+
+# ---------------------------------------------------------------------------
+# anchors
+# ---------------------------------------------------------------------------
+
+def level_shapes(input_size: int) -> list[tuple[int, int]]:
+    return [(math.ceil(input_size / s), math.ceil(input_size / s))
+            for s in STRIDES]
+
+
+def anchor_wh() -> jnp.ndarray:
+    """The 9 (w, h) anchor shapes per unit stride-size, (A, 2).
+
+    Anchor base size is 4x the stride (32..512 over P3..P7).
+    """
+    shapes = []
+    for ratio in ASPECT_RATIOS:
+        for scale in OCTAVE_SCALES:
+            area = (4.0 * scale) ** 2  # in stride units
+            w = math.sqrt(area / ratio)
+            h = w * ratio
+            shapes.append((w, h))
+    return jnp.asarray(shapes, jnp.float32)  # (9, 2), stride units
+
+
+def generate_anchors(input_size: int) -> jnp.ndarray:
+    """All anchors for an input size, (N, 4) cxcywh in pixels.
+
+    Order matches the head's flattened output: level-major, then
+    row-major cells, then the 9 anchor shapes.
+    """
+    wh_unit = anchor_wh()
+    out = []
+    for stride, (h, w) in zip(STRIDES, level_shapes(input_size)):
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        cx = (gx + 0.5) * stride
+        cy = (gy + 0.5) * stride
+        ctr = jnp.stack([cx, cy], -1)[:, :, None, :]          # (H, W, 1, 2)
+        wh = (wh_unit * stride)[None, None, :, :]             # (1, 1, 9, 2)
+        boxes = jnp.concatenate(
+            [jnp.broadcast_to(ctr, (h, w, NUM_ANCHORS, 2)),
+             jnp.broadcast_to(wh, (h, w, NUM_ANCHORS, 2))], -1)
+        out.append(boxes.reshape(-1, 4))
+    return jnp.concatenate(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# head params + apply (subnets shared across levels)
+# ---------------------------------------------------------------------------
+
+def init(rng: jax.Array, num_classes: int = 80, *, channels: int = 256) -> Params:
+    keys = KeyGen(rng)
+
+    def subnet(c_final: int, final_bias: float) -> Params:
+        p: Params = {}
+        for i in range(4):
+            p[f"conv{i}"] = conv_init(keys(), 3, channels, channels, bias=True)
+        p["out"] = conv_init(keys(), 3, channels, c_final, bias=True)
+        p["out"]["b"] = jnp.full((c_final,), final_bias, jnp.float32)
+        return p
+
+    cls_bias = -math.log((1 - PRIOR_PROB) / PRIOR_PROB)
+    return {
+        "cls": subnet(NUM_ANCHORS * num_classes, cls_bias),
+        "box": subnet(NUM_ANCHORS * 4, 0.0),
+    }
+
+
+def _subnet(p: Params, x, *, compute_dtype):
+    for i in range(4):
+        w = p[f"conv{i}"]
+        x = conv2d(x, w["w"], compute_dtype=compute_dtype) + w["b"].astype(
+            x.dtype if compute_dtype is None else compute_dtype)
+        x = jnp.maximum(x, 0.0)
+    y = conv2d(x, p["out"]["w"], compute_dtype=compute_dtype)
+    return y + p["out"]["b"].astype(y.dtype)
+
+
+def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
+          num_classes: int = 80, compute_dtype=None):
+    """[P3..P7] → (cls_logits (B, N, C), box_deltas (B, N, 4)), f32."""
+    cls_flat, box_flat = [], []
+    for feat in pyramid:
+        b, h, w, _ = feat.shape
+        cl = _subnet(params["cls"], feat, compute_dtype=compute_dtype)
+        bx = _subnet(params["box"], feat, compute_dtype=compute_dtype)
+        cls_flat.append(cl.astype(jnp.float32).reshape(b, h * w * NUM_ANCHORS,
+                                                       num_classes))
+        box_flat.append(bx.astype(jnp.float32).reshape(b, h * w * NUM_ANCHORS, 4))
+    return (jnp.concatenate(cls_flat, 1), jnp.concatenate(box_flat, 1))
+
+
+# ---------------------------------------------------------------------------
+# decode + encode
+# ---------------------------------------------------------------------------
+
+def decode(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+           anchors_cxcywh: jnp.ndarray):
+    """Deltas + anchors → dense detections.
+
+    Returns {"boxes": (B, N, 4) xyxy, "scores": (B, N, C) sigmoid}.
+    Decode math follows the standard R-CNN box coder with unit weights:
+    ctr = d*wh_a + ctr_a ; wh = exp(clamp(d)) * wh_a.
+    """
+    ctr_a = anchors_cxcywh[None, :, :2]
+    wh_a = anchors_cxcywh[None, :, 2:]
+    ctr = box_deltas[..., :2] * wh_a + ctr_a
+    wh = jnp.exp(jnp.clip(box_deltas[..., 2:], -DWH_CLAMP, DWH_CLAMP)) * wh_a
+    boxes = cxcywh_to_xyxy(jnp.concatenate([ctr, wh], -1))
+    return {"boxes": boxes, "scores": jax.nn.sigmoid(cls_logits)}
+
+
+def encode(gt_cxcywh: jnp.ndarray, anchors_cxcywh: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of decode: gt boxes → regression targets vs anchors."""
+    d_ctr = (gt_cxcywh[..., :2] - anchors_cxcywh[..., :2]) / anchors_cxcywh[..., 2:]
+    d_wh = jnp.log(jnp.maximum(gt_cxcywh[..., 2:] / anchors_cxcywh[..., 2:], 1e-8))
+    return jnp.concatenate([d_ctr, d_wh], -1)
+
+
+# ---------------------------------------------------------------------------
+# loss
+# ---------------------------------------------------------------------------
+
+def loss(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+         anchors_cxcywh: jnp.ndarray, gt_boxes: jnp.ndarray,
+         gt_classes: jnp.ndarray, gt_valid: jnp.ndarray, *,
+         num_classes: int = 80) -> dict:
+    """Focal + smooth-L1 with IoU-based anchor assignment.
+
+    Anchors with best-GT IoU ≥ 0.5 are positive, < 0.4 negative, the
+    band between is ignored; additionally every GT's single best anchor
+    is forced positive (low-quality match recovery). gt_boxes are
+    (B, M, 4) cxcywh net pixels, padded with gt_valid mask.
+    """
+    anchors_xyxy = cxcywh_to_xyxy(anchors_cxcywh)
+    gt_xyxy = cxcywh_to_xyxy(gt_boxes)
+    iou = pairwise_iou(anchors_xyxy[None], gt_xyxy)          # (B, N, M)
+    iou = jnp.where(gt_valid[:, None, :], iou, -1.0)
+
+    best_gt_iou = jnp.max(iou, axis=-1)                       # (B, N)
+    best_gt = jnp.argmax(iou, axis=-1)                        # (B, N)
+
+    # force-match: the best anchor of each valid GT becomes positive
+    best_anchor = jnp.argmax(iou, axis=1)                     # (B, M)
+    b, n, m = iou.shape
+    force = jnp.zeros((b, n), bool)
+    bidx = jnp.arange(b)[:, None].repeat(m, 1)
+    force = force.at[bidx, best_anchor].set(
+        jnp.where(gt_valid, True, force[bidx, best_anchor]))
+    forced_gt = jnp.zeros((b, n), jnp.int32)
+    forced_gt = forced_gt.at[bidx, best_anchor].set(
+        jnp.where(gt_valid, jnp.arange(m)[None, :].repeat(b, 0), 0))
+
+    positive = (best_gt_iou >= POS_IOU) | force
+    negative = (best_gt_iou < NEG_IOU) & ~force
+    matched_gt = jnp.where(force, forced_gt, best_gt)         # (B, N)
+
+    tgt_cls = jnp.take_along_axis(gt_classes, matched_gt, axis=1)  # (B, N)
+    cls_onehot = jax.nn.one_hot(tgt_cls, num_classes) * positive[..., None]
+    fl = focal_loss(cls_logits, cls_onehot)                   # (B, N, C)
+    fl_mask = (positive | negative)[..., None]
+    num_pos = jnp.maximum(jnp.sum(positive), 1.0)
+    cls_loss = jnp.sum(fl * fl_mask) / num_pos
+
+    tgt_boxes = jnp.take_along_axis(
+        gt_boxes, matched_gt[..., None], axis=1)              # (B, N, 4)
+    reg_tgt = encode(tgt_boxes, anchors_cxcywh[None])
+    reg = jnp.sum(smooth_l1(box_deltas, reg_tgt), -1)         # (B, N)
+    box_loss = jnp.sum(reg * positive) / num_pos
+
+    return {"cls": cls_loss, "box": box_loss, "total": cls_loss + box_loss}

@@ -76,10 +76,16 @@ def _conv5(p: Params, x, *, train, compute_dtype):
     return x, (updates if train else None)
 
 
-def init(rng: jax.Array, num_classes: int = 80) -> Params:
-    """Neck + 3 detection branches. Input: C3/C4/C5 from Darknet-53."""
+def init(rng: jax.Array, num_classes: int = 80, *,
+         channels_per_anchor: int | None = None) -> Params:
+    """Neck + 3 detection branches. Input: C3/C4/C5 from Darknet-53.
+
+    `channels_per_anchor` overrides the per-anchor output width
+    (default 5+num_classes); RAPiD passes 6 for (x,y,w,h,θ,conf).
+    """
     ks = KeyGen(rng)
-    na, no = 3, 5 + num_classes
+    na = 3
+    no = channels_per_anchor if channels_per_anchor is not None else 5 + num_classes
     return {
         "block5": _conv5_init(ks(), 1024, 512),
         "head5": {"conv": conv_bn_leaky_init(ks(), 3, 512, 1024),

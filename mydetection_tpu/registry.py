@@ -141,3 +141,168 @@ register("yolov3", ModelConfig(name="yolov3", family="yolov3",
                                num_classes=80, input_size=416))(_build_yolov3)
 register("yolov3_608", ModelConfig(name="yolov3_608", family="yolov3",
                                    num_classes=80, input_size=608))(_build_yolov3)
+
+
+# ---------------------------------------------------------------------------
+# RetinaNet (ResNet-FPN)
+# ---------------------------------------------------------------------------
+
+def _build_retinanet(depth: int):
+    def build(cfg: ModelConfig) -> Model:
+        from mydetection_tpu.models import fpn, resnet, retinanet
+
+        nc = cfg.num_classes
+
+        def init(rng: jax.Array) -> dict:
+            ks = jax.random.split(rng, 3)
+            return {
+                "backbone": resnet.init(ks[0], depth=depth),
+                "fpn": fpn.init(ks[1]),
+                "head": retinanet.init(ks[2], nc),
+            }
+
+        def forward_raw(params, images, *, train: bool = False):
+            x = images
+            if x.dtype == jnp.uint8:
+                x = L.normalize_input(x, cfg.compute_dtype)
+            else:
+                x = x.astype(cfg.compute_dtype)
+            feats, bu = resnet.apply(params["backbone"], x, depth=depth,
+                                     train=train, compute_dtype=cfg.compute_dtype)
+            pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)
+            cls_logits, box_deltas = retinanet.apply(
+                params["head"], pyr, num_classes=nc,
+                compute_dtype=cfg.compute_dtype)
+            return cls_logits, box_deltas, ({"backbone": bu} if train else None)
+
+        def forward_dense(params, images, *, train: bool = False):
+            cls_logits, box_deltas, updates = forward_raw(params, images,
+                                                          train=train)
+            anchors = retinanet.generate_anchors(images.shape[1])
+            dense = retinanet.decode(cls_logits, box_deltas, anchors)
+            return dense, updates
+
+        def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
+                 input_size: int | None = None):
+            cls_logits, box_deltas, updates = forward_raw(params, images,
+                                                          train=True)
+            anchors = retinanet.generate_anchors(images.shape[1])
+            terms = retinanet.loss(cls_logits, box_deltas, anchors,
+                                   gt_boxes, gt_classes, gt_valid,
+                                   num_classes=nc)
+            terms["bn_updates"] = updates
+            return terms
+
+        return Model(config=cfg, init=init, forward_dense=forward_dense,
+                     loss=loss)
+
+    return build
+
+
+# ---------------------------------------------------------------------------
+# RAPiD (rotated bboxes, Darknet-53, person-only)
+# ---------------------------------------------------------------------------
+
+def _build_rapid(cfg: ModelConfig) -> Model:
+    from mydetection_tpu.models import rapid
+
+    def init(rng: jax.Array) -> dict:
+        ks = jax.random.split(rng, 2)
+        return {"backbone": darknet.init(ks[0]),
+                "head": yolov3.init(ks[1], 1, channels_per_anchor=rapid.CHANNELS_PER_ANCHOR)}
+
+    def forward_raw(params, images, *, train: bool = False):
+        x = images
+        if x.dtype == jnp.uint8:
+            x = L.normalize_input(x, cfg.compute_dtype)
+        else:
+            x = x.astype(cfg.compute_dtype)
+        feats, bu = darknet.apply(params["backbone"], x, train=train,
+                                  compute_dtype=cfg.compute_dtype)
+        raw, hu = yolov3.apply(params["head"], feats, train=train,
+                               compute_dtype=cfg.compute_dtype)
+        return raw, ({"backbone": bu, "head": hu} if train else None)
+
+    def forward_dense(params, images, *, train: bool = False):
+        raw, updates = forward_raw(params, images, train=train)
+        decoded = rapid.decode(raw)
+        # rotated models: "boxes" carries (cx, cy, w, h, θ); "scores" (B, N)
+        return {"boxes": decoded["boxes5"], "scores": decoded["conf"]}, updates
+
+    def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
+             input_size: int | None = None):
+        """gt_boxes here are (B, M, 5) cxcywhθ; gt_classes unused (person)."""
+        raw, updates = forward_raw(params, images, train=True)
+        terms = rapid.loss(raw, gt_boxes, gt_valid,
+                           input_size=input_size or cfg.input_size)
+        terms["bn_updates"] = updates
+        return terms
+
+    return Model(config=cfg, init=init, forward_dense=forward_dense, loss=loss)
+
+
+register("rapid", ModelConfig(
+    name="rapid", family="rapid", num_classes=1, input_size=1024,
+    rotated=True, conf_thres=0.3, pre_nms=512,
+    class_names=("person",)))(_build_rapid)
+
+
+# ---------------------------------------------------------------------------
+# FCOS (ResNet-FPN, anchor-free)
+# ---------------------------------------------------------------------------
+
+def _build_fcos(cfg: ModelConfig) -> Model:
+    from mydetection_tpu.models import fcos, fpn, resnet
+
+    nc = cfg.num_classes
+
+    def init(rng: jax.Array) -> dict:
+        ks = jax.random.split(rng, 3)
+        return {
+            "backbone": resnet.init(ks[0], depth=50),
+            "fpn": fpn.init(ks[1]),
+            "head": fcos.init(ks[2], nc),
+        }
+
+    def forward_raw(params, images, *, train: bool = False):
+        x = images
+        if x.dtype == jnp.uint8:
+            x = L.normalize_input(x, cfg.compute_dtype)
+        else:
+            x = x.astype(cfg.compute_dtype)
+        feats, bu = resnet.apply(params["backbone"], x, depth=50,
+                                 train=train, compute_dtype=cfg.compute_dtype)
+        pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)
+        cls_logits, ltrb, ctr = fcos.apply(params["head"], pyr, num_classes=nc,
+                                           compute_dtype=cfg.compute_dtype)
+        return cls_logits, ltrb, ctr, ({"backbone": bu} if train else None)
+
+    def forward_dense(params, images, *, train: bool = False):
+        cls_logits, ltrb, ctr, updates = forward_raw(params, images, train=train)
+        locations, _ = fcos.generate_locations(images.shape[1])
+        dense = fcos.decode(cls_logits, ltrb, ctr, locations)
+        return dense, updates
+
+    def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
+             input_size: int | None = None):
+        cls_logits, ltrb, ctr, updates = forward_raw(params, images, train=True)
+        locations, strides = fcos.generate_locations(images.shape[1])
+        terms = fcos.loss(cls_logits, ltrb, ctr, locations, strides,
+                          gt_boxes, gt_classes, gt_valid, num_classes=nc)
+        terms["bn_updates"] = updates
+        return terms
+
+    return Model(config=cfg, init=init, forward_dense=forward_dense, loss=loss)
+
+
+register("fcos", ModelConfig(
+    name="fcos", family="fcos", num_classes=80, input_size=608,
+    conf_thres=0.05))(_build_fcos)
+
+
+register("retinanet", ModelConfig(
+    name="retinanet", family="retinanet", num_classes=80, input_size=608,
+    conf_thres=0.05))(_build_retinanet(50))
+register("retinanet_r101", ModelConfig(
+    name="retinanet_r101", family="retinanet", num_classes=80, input_size=608,
+    conf_thres=0.05))(_build_retinanet(101))

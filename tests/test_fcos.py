@@ -1,0 +1,107 @@
+"""FCOS component tests: locations, assignment, centerness golden
+values, decode, loss (SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mydetection_tpu.models import fcos
+from mydetection_tpu.registry import get_model
+
+
+def test_locations_order_and_values():
+    locs, strides = fcos.generate_locations(128)
+    locs, strides = np.asarray(locs), np.asarray(strides)
+    shapes = fcos.level_shapes(128)
+    assert len(locs) == sum(h * w for h, w in shapes)
+    np.testing.assert_allclose(locs[0], [4.0, 4.0])   # P3 cell (0,0)
+    assert strides[0] == 8.0
+    n3 = shapes[0][0] * shapes[0][1]
+    np.testing.assert_allclose(locs[n3], [8.0, 8.0])  # first P4 loc
+    assert strides[n3] == 16.0
+
+
+def test_assignment_center_and_range():
+    locs, strides = fcos.generate_locations(128)
+    # one big GT centered at (64, 64), size 60x60 -> max ltrb 30+, fits P3
+    gt = jnp.asarray([[[34.0, 34, 94, 94]]])  # xyxy
+    valid = jnp.asarray([[True]])
+    positive, matched, tgt, ctr = fcos._assign(locs, strides, gt, valid)
+    positive = np.asarray(positive)[0]
+    assert positive.any()
+    # the P3 location nearest the center must be positive with high ctr
+    # (restrict to P3: higher levels also have a location at the exact
+    # center but are excluded by the level-range rule)
+    locs_np = np.asarray(locs)
+    p3 = np.asarray(strides) == 8.0
+    center_idx = np.argmin(np.where(p3, np.abs(locs_np - 64).sum(1), 1e9))
+    assert positive[center_idx]
+    # nearest P3 loc is (60,60): l=r ratio 26/34 -> ctr = 26/34 ≈ 0.765
+    assert float(np.asarray(ctr)[0, center_idx]) == pytest.approx(26 / 34, abs=1e-4)
+    # all positives sit on P3 (max dist 60 < 64) given center sampling
+    assert (np.asarray(strides)[positive] == 8.0).all()
+
+
+def test_centerness_golden():
+    # location at (10, 10) inside box [0,0,40,20]: l=10,t=10,r=30,b=10
+    # ctr = sqrt((10/30)*(10/10)) = sqrt(1/3)
+    locs = jnp.asarray([[10.0, 10.0]])
+    strides = jnp.asarray([8.0])
+    gt = jnp.asarray([[[0.0, 0, 40, 20]]])
+    valid = jnp.asarray([[True]])
+    _, _, tgt, ctr = fcos._assign(locs, strides, gt, valid)
+    np.testing.assert_allclose(np.asarray(tgt)[0, 0], [10, 10, 30, 10],
+                               atol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(ctr)[0, 0]),
+                               np.sqrt(1 / 3), rtol=1e-5)
+
+
+def test_min_area_tiebreak():
+    locs = jnp.asarray([[50.0, 50.0]])
+    strides = jnp.asarray([8.0])
+    gt = jnp.asarray([[[0.0, 0, 100, 100], [40.0, 40, 60, 60]]])  # big, small
+    valid = jnp.asarray([[True, True]])
+    _, matched, _, _ = fcos._assign(locs, strides, gt, valid)
+    assert int(np.asarray(matched)[0, 0]) == 1  # smaller box wins
+
+
+def test_decode_golden():
+    locs = jnp.asarray([[100.0, 50.0]])
+    ltrb = jnp.asarray([[[10.0, 20.0, 30.0, 40.0]]])
+    cls = jnp.zeros((1, 1, 2))
+    ctr = jnp.full((1, 1), 10.0)  # sigmoid ~ 1
+    out = fcos.decode(cls, ltrb, ctr, locs)
+    np.testing.assert_allclose(np.asarray(out["boxes"])[0, 0],
+                               [90, 30, 130, 90], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["scores"])[0, 0], [0.5, 0.5],
+                               rtol=1e-3)
+
+
+def test_loss_finite_and_zero_box_on_perfect():
+    locs, strides = fcos.generate_locations(64)
+    n = locs.shape[0]
+    gt_boxes = jnp.asarray([[[32.0, 32, 40, 40]]])  # cxcywh
+    gt_classes = jnp.asarray([[2]], jnp.int32)
+    gt_valid = jnp.asarray([[True]])
+    # construct perfect ltrb predictions from the assignment itself
+    from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
+    positive, matched, tgt, ctr_tgt = fcos._assign(
+        locs, strides, cxcywh_to_xyxy(gt_boxes), gt_valid)
+    terms = fcos.loss(jnp.zeros((1, n, 5)), tgt, jnp.zeros((1, n)),
+                      locs, strides, gt_boxes, gt_classes, gt_valid,
+                      num_classes=5)
+    assert np.isfinite(float(terms["total"]))
+    assert float(terms["box"]) == pytest.approx(0.0, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_end_to_end_forward_shapes():
+    model = get_model("fcos", input_size=128, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    imgs = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+    dense, _ = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
+    n = sum(h * w for h, w in fcos.level_shapes(128))
+    assert dense["boxes"].shape == (1, n, 4)
+    assert dense["scores"].shape == (1, n, 80)
+    assert np.isfinite(np.asarray(dense["boxes"])).all()

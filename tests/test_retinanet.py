@@ -1,0 +1,112 @@
+"""RetinaNet component tests: anchors, decode golden values, loss,
+end-to-end shapes (SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mydetection_tpu.models import retinanet
+from mydetection_tpu.registry import get_model
+
+
+def test_anchor_counts_and_order():
+    anchors = np.asarray(retinanet.generate_anchors(128))
+    shapes = retinanet.level_shapes(128)
+    expect = sum(h * w for h, w in shapes) * retinanet.NUM_ANCHORS
+    assert anchors.shape == (expect, 4)
+    # first anchor: P3 stride 8, cell (0,0) center (4,4), scale 1 ratio 0.5
+    np.testing.assert_allclose(anchors[0, :2], [4.0, 4.0])
+    # ratio 0.5 = h/w, area (4*8)^2 => w = 32*sqrt(2), h = 16*sqrt(2)
+    np.testing.assert_allclose(anchors[0, 2], 32 * np.sqrt(2), rtol=1e-6)
+    np.testing.assert_allclose(anchors[0, 3], 16 * np.sqrt(2), rtol=1e-6)
+
+
+def test_anchor_strides_cover_levels():
+    anchors = np.asarray(retinanet.generate_anchors(128))
+    shapes = retinanet.level_shapes(128)
+    n3 = shapes[0][0] * shapes[0][1] * 9
+    # last P3 anchor center is at ((W-1)+0.5)*8
+    np.testing.assert_allclose(anchors[n3 - 1, :2],
+                               [(shapes[0][1] - 0.5) * 8,
+                                (shapes[0][0] - 0.5) * 8])
+    # first P4 anchor center at (8, 8) with stride 16
+    np.testing.assert_allclose(anchors[n3, :2], [8.0, 8.0])
+
+
+def test_decode_encode_roundtrip(rng):
+    anchors = jnp.asarray(
+        np.column_stack([rng.uniform(50, 400, (32, 2)),
+                         rng.uniform(20, 100, (32, 2))]).astype(np.float32))
+    gt = jnp.asarray(
+        np.column_stack([rng.uniform(50, 400, (32, 2)),
+                         rng.uniform(20, 100, (32, 2))]).astype(np.float32))
+    deltas = retinanet.encode(gt, anchors)
+    out = retinanet.decode(jnp.zeros((1, 32, 3)), deltas[None], anchors)
+    from mydetection_tpu.ops.boxes import xyxy_to_cxcywh
+    back = xyxy_to_cxcywh(out["boxes"][0])
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_decode_golden():
+    # one anchor (100, 100, 40, 20); delta (0.5, -0.5, log2, 0)
+    anchors = jnp.asarray([[100.0, 100.0, 40.0, 20.0]])
+    deltas = jnp.asarray([[[0.5, -0.5, np.log(2.0), 0.0]]])
+    logits = jnp.asarray([[[0.0, 2.0]]])
+    out = retinanet.decode(logits, deltas, anchors)
+    # ctr = (100 + 0.5*40, 100 - 0.5*20) = (120, 90); wh = (80, 20)
+    np.testing.assert_allclose(np.asarray(out["boxes"])[0, 0],
+                               [120 - 40, 90 - 10, 120 + 40, 90 + 10],
+                               rtol=1e-6)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    np.testing.assert_allclose(np.asarray(out["scores"])[0, 0],
+                               [sig(0.0), sig(2.0)], rtol=1e-6)
+
+
+def test_loss_assignment_and_finiteness():
+    n_cls = 3
+    anchors = jnp.asarray([
+        [50.0, 50, 20, 20],    # IoU 1 with gt0 -> positive
+        [300.0, 300, 20, 20],  # no overlap -> negative
+        [55.0, 50, 20, 20],    # partial overlap
+    ])
+    gt_boxes = jnp.asarray([[[50.0, 50, 20, 20]]])
+    gt_classes = jnp.asarray([[1]], dtype=jnp.int32)
+    gt_valid = jnp.asarray([[True]])
+    cls_logits = jnp.zeros((1, 3, n_cls))
+    box_deltas = jnp.zeros((1, 3, 4))
+    terms = retinanet.loss(cls_logits, box_deltas, anchors, gt_boxes,
+                           gt_classes, gt_valid, num_classes=n_cls)
+    assert np.isfinite(float(terms["total"]))
+    # positives: anchor0 (IoU 1.0) and anchor2 (IoU 300/500 = 0.6).
+    # anchor0 target deltas are 0 (perfect) -> contributes 0;
+    # anchor2 target dx = (50-55)/20 = -0.25, smooth-L1(0.25, beta=1/9)
+    # = 0.25 - beta/2; normalized by num_pos=2.
+    beta = 1.0 / 9
+    expect = (0.25 - beta / 2) / 2
+    assert float(terms["box"]) == pytest.approx(expect, abs=1e-6)
+
+
+def test_loss_no_valid_gt():
+    anchors = jnp.asarray([[50.0, 50, 20, 20], [300.0, 300, 20, 20]])
+    terms = retinanet.loss(
+        jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 4)), anchors,
+        jnp.zeros((1, 2, 4)), jnp.zeros((1, 2), jnp.int32),
+        jnp.zeros((1, 2), bool), num_classes=3)
+    assert float(terms["box"]) == 0.0
+    assert np.isfinite(float(terms["cls"]))
+
+
+@pytest.mark.slow
+def test_end_to_end_forward_shapes():
+    model = get_model("retinanet", input_size=128, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    imgs = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+    dense, _ = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
+    n = sum(h * w for h, w in retinanet.level_shapes(128)) * 9
+    assert dense["boxes"].shape == (1, n, 4)
+    assert dense["scores"].shape == (1, n, 80)
+    # prior-prob bias: untrained scores should sit near 0.01
+    s = np.asarray(dense["scores"])
+    assert 0.001 < np.median(s) < 0.1
