@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""COCO evaluation CLI — reference parity with `evaluate.py` in
+duanzhiihao/myDetection [recalled; SURVEY.md §2.14/§3.5].
+
+Example:
+    python evaluate.py --model yolov3 --weights weights/yolov3.npz \
+        --ann data/instances_val2017.json --img-dir data/val2017 \
+        --input-size 416 --batch-size 32
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="yolov3")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--ann", required=True, help="COCO annotation JSON")
+    ap.add_argument("--img-dir", required=True)
+    ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--conf-thres", type=float, default=0.005)
+    ap.add_argument("--nms-iou", type=float, default=0.45)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--num-threads", type=int, default=4)
+    ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--float32", action="store_true",
+                    help="float32 compute (bit-consistency runs)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from mydetection_tpu import Detector
+    from mydetection_tpu.eval.evaluator import evaluate_detector
+
+    overrides = {}
+    if args.input_size:
+        overrides["input_size"] = args.input_size
+    if args.float32:
+        overrides["compute_dtype"] = jnp.float32
+    # the head's class count must match the GT category set
+    from mydetection_tpu.eval.cocoeval import COCOGt
+    gt = COCOGt(args.ann)
+    if gt.cat_ids:
+        overrides["num_classes"] = len(gt.cat_ids)
+    det = Detector(model_name=args.model, weights_path=args.weights,
+                   **overrides)
+    stats = evaluate_detector(
+        det, gt, args.img_dir, conf_thres=args.conf_thres,
+        nms_iou=args.nms_iou, batch_size=args.batch_size,
+        input_size=args.input_size, max_images=args.max_images,
+        num_threads=args.num_threads, results_path=args.out)
+    print({k: round(v, 4) for k, v in stats.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -254,3 +254,20 @@ class Detector:
     # reference-name alias (detect_imgSeq in myDetection api.py [recalled])
     def detect_imgSeq(self, img_paths: Sequence[str], **kw) -> list[Detections]:
         return self.detect_batch(list(img_paths), **kw)
+
+    def detect_prepared(self, canvases, infos: Sequence[LetterboxInfo], *,
+                        conf_thres: float | None = None,
+                        nms_iou: float | None = None) -> list[Detections]:
+        """Detect on already-letterboxed uint8 canvases (B, S, S, 3).
+
+        The streaming-inference fast path: canvases may be device-
+        resident (from `data.loader.StreamingPipeline`); only the first
+        len(infos) rows are real (batches are padded to static shape).
+        """
+        conf = conf_thres if conf_thres is not None else self.cfg.conf_thres
+        iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
+        size = int(canvases.shape[1])
+        run = self._pipeline(size)
+        out = jax.device_get(run(self.params, canvases, jnp.float32(conf),
+                                 nms_iou=float(iou)))
+        return [self._strip(out, i, infos[i]) for i in range(len(infos))]

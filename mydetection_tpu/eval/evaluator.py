@@ -1,0 +1,73 @@
+"""End-to-end COCO evaluation of a Detector (the reference's
+`evaluate.py` core, SURVEY.md §3.5) with streaming batched inference.
+
+Flow: annotation JSON → image paths → StreamingPipeline (threaded
+decode + letterbox + device prefetch) → Detector.detect_prepared →
+COCO result rows → pure-numpy COCOEvaluator (protocol-compatible with
+pycocotools, which is absent in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from mydetection_tpu.data.loader import StreamingPipeline
+from mydetection_tpu.eval.cocoeval import COCOEvaluator, COCOGt
+
+
+def evaluate_detector(detector, ann_file: str | dict, img_dir: str, *,
+                      conf_thres: float = 0.005, nms_iou: float = 0.45,
+                      batch_size: int = 32, input_size: int | None = None,
+                      max_images: int | None = None, num_threads: int = 4,
+                      results_path: str | None = None,
+                      verbose: bool = True) -> dict:
+    """Run COCO-val evaluation; returns the stats dict (AP, AP50, ...)."""
+    gt = ann_file if isinstance(ann_file, COCOGt) else COCOGt(ann_file)
+    size = input_size or detector.cfg.input_size
+
+    img_ids = gt.img_ids[:max_images] if max_images else gt.img_ids
+    paths, ids = [], []
+    for img_id in img_ids:
+        info = gt.imgs[img_id]
+        paths.append(os.path.join(img_dir, info.get("file_name", f"{img_id}.jpg")))
+        ids.append(img_id)
+
+    # contiguous class id -> original COCO category id
+    contig_to_cat = {i: c for i, c in enumerate(sorted(gt.cats))}
+
+    results: list[dict] = []
+    t0 = time.perf_counter()
+    pos = 0
+    pipe = StreamingPipeline(paths, input_size=size, batch_size=batch_size,
+                             num_threads=num_threads)
+    for canvases, infos, _ in pipe:
+        dets = detector.detect_prepared(canvases, infos,
+                                        conf_thres=conf_thres,
+                                        nms_iou=nms_iou)
+        for d in dets:
+            results.extend(d.to_coco(ids[pos], category_map=contig_to_cat))
+            pos += 1
+    dt = time.perf_counter() - t0
+    if verbose:
+        print(f"inference: {len(paths)} images in {dt:.1f}s "
+              f"({len(paths) / max(dt, 1e-9):.1f} img/s), "
+              f"{len(results)} detections")
+
+    if results_path:
+        with open(results_path, "w") as fh:
+            json.dump(results, fh)
+
+    if gt.img_ids and max_images:
+        # restrict GT to the evaluated subset so AP is consistent
+        subset = {
+            "images": [gt.imgs[i] for i in ids],
+            "categories": list(gt.cats.values()),
+            "annotations": [a for key, anns in gt.anns_by_img_cat.items()
+                            if key[0] in set(ids) for a in anns],
+        }
+        evaluator = COCOEvaluator(subset)
+    else:
+        evaluator = COCOEvaluator(gt)
+    return evaluator.evaluate(results, verbose=verbose)

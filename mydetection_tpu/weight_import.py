@@ -1,0 +1,220 @@
+"""Weight importers: darknet binary `.weights` and torch state dicts.
+
+SURVEY.md §5.4: a weight-import tool mapping reference PyTorch
+checkpoint names → our pytree is needed for mAP-parity evaluation
+without retraining (OIHW→HWIO conv transposes, BN (γ,β,μ,σ²) mapping).
+Additionally the official YOLOv3 weights ship in darknet's raw binary
+format, which needs no torch at all.
+
+Darknet format (github.com/pjreddie/darknet, parser semantics):
+  header: 3×int32 (major, minor, revision) then seen-counter
+  (int64 if major*10+minor ≥ 2 else int32); then a flat float32
+  stream. Per conv layer with BN: [β, γ, μ, σ²] each (out,), then
+  conv weights (out, in, k, k). Per conv without BN: [bias (out,)],
+  then weights. Layer order follows the cfg file top-to-bottom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mydetection_tpu.models.layers import Params
+
+
+# ---------------------------------------------------------------------------
+# darknet binary
+# ---------------------------------------------------------------------------
+
+def _yolov3_conv_sequence(params: Params) -> list[tuple[Params, bool]]:
+    """(conv param node, has_bn) in yolov3.cfg file order."""
+    seq: list[tuple[Params, bool]] = []
+    bb = params["backbone"]
+
+    def add_cbl(node):  # conv_bn_leaky node
+        seq.append((node, True))
+
+    add_cbl(bb["stem"])
+    from mydetection_tpu.models.darknet import STAGE_BLOCKS
+    for si, nblocks in enumerate(STAGE_BLOCKS):
+        stage = bb[f"stage{si}"]
+        add_cbl(stage["down"])
+        for bi in range(nblocks):
+            add_cbl(stage[f"res{bi}"]["conv1"])
+            add_cbl(stage[f"res{bi}"]["conv2"])
+
+    head = params["head"]
+    for block, head_name, lateral in (("block5", "head5", "lateral4"),
+                                      ("block4", "head4", "lateral3"),
+                                      ("block3", "head3", None)):
+        for ci in range(5):
+            add_cbl(head[block][f"c{ci}"])
+        add_cbl(head[head_name]["conv"])
+        seq.append((head[head_name]["out"], False))
+        if lateral is not None:
+            add_cbl(head[lateral])
+    return seq
+
+
+def load_darknet_weights(params: Params, path: str) -> Params:
+    """Load official darknet yolov3.weights into a yolov3 param tree.
+
+    Returns a NEW tree (float32 numpy leaves); raises if the stream
+    length does not exactly match the parameter count.
+    """
+    import copy
+
+    with open(path, "rb") as fh:
+        major, minor, _rev = np.fromfile(fh, np.int32, 3)
+        if major * 10 + minor >= 2:
+            np.fromfile(fh, np.int64, 1)
+        else:
+            np.fromfile(fh, np.int32, 1)
+        stream = np.fromfile(fh, np.float32)
+
+    params = copy.deepcopy(jax_to_numpy(params))
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        if pos + n > len(stream):
+            raise ValueError(
+                f"darknet weights exhausted at {pos}+{n} > {len(stream)}")
+        out = stream[pos: pos + n]
+        pos += n
+        return out
+
+    for node, has_bn in _yolov3_conv_sequence(params):
+        if has_bn:
+            w = node["conv"]["w"]
+            kh, kw, c_in, c_out = w.shape
+            node["bn"]["bias"] = take(c_out).copy()
+            node["bn"]["scale"] = take(c_out).copy()
+            node["bn"]["mean"] = take(c_out).copy()
+            node["bn"]["var"] = take(c_out).copy()
+            oihw = take(c_out * c_in * kh * kw).reshape(c_out, c_in, kh, kw)
+            node["conv"]["w"] = np.transpose(oihw, (2, 3, 1, 0)).copy()
+        else:
+            w = node["w"]
+            kh, kw, c_in, c_out = w.shape
+            node["b"] = take(c_out).copy()
+            oihw = take(c_out * c_in * kh * kw).reshape(c_out, c_in, kh, kw)
+            node["w"] = np.transpose(oihw, (2, 3, 1, 0)).copy()
+
+    if pos != len(stream):
+        raise ValueError(
+            f"darknet weights length mismatch: used {pos} of {len(stream)}")
+    return params
+
+
+def save_darknet_weights(params: Params, path: str) -> None:
+    """Inverse of load (for round-trip tests and interop)."""
+    chunks = [np.asarray([0, 2, 0], np.int32).tobytes(),
+              np.asarray([0], np.int64).tobytes()]
+    out: list[np.ndarray] = []
+    for node, has_bn in _yolov3_conv_sequence(jax_to_numpy(params)):
+        if has_bn:
+            out += [node["bn"]["bias"], node["bn"]["scale"],
+                    node["bn"]["mean"], node["bn"]["var"],
+                    np.transpose(node["conv"]["w"], (3, 2, 0, 1)).ravel()]
+        else:
+            out += [node["b"], np.transpose(node["w"], (3, 2, 0, 1)).ravel()]
+    stream = np.concatenate([np.asarray(a, np.float32).ravel() for a in out])
+    with open(path, "wb") as fh:
+        fh.write(b"".join(chunks))
+        stream.tofile(fh)
+
+
+# ---------------------------------------------------------------------------
+# torch state dicts
+# ---------------------------------------------------------------------------
+
+def jax_to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _to_numpy(t):
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def load_torch_checkpoint(path: str, *, key: str | None = "model") -> dict:
+    """torch.load a checkpoint and return a flat name→numpy dict.
+
+    The reference saves {'model': state_dict, ...} [recalled;
+    SURVEY.md §2.15]; bare state_dicts also work (key=None or missing).
+    """
+    import torch
+
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ck, dict) and key and key in ck:
+        ck = ck[key]
+    if hasattr(ck, "state_dict"):
+        ck = ck.state_dict()
+    return {k: _to_numpy(v) for k, v in ck.items()}
+
+
+def import_torch_conv(w_oihw: np.ndarray) -> np.ndarray:
+    return np.transpose(w_oihw, (2, 3, 1, 0))
+
+
+def import_resnet_state_dict(params_backbone: Params, state: dict) -> Params:
+    """torchvision ResNet state_dict → our resnet param tree.
+
+    Name map: conv1/bn1 → stem; layerL.B.convN/bnN → stageL-1.blockB.convN;
+    layerL.B.downsample.{0,1} → stageL-1.blockB.down.
+    """
+    import copy
+
+    out = copy.deepcopy(jax_to_numpy(params_backbone))
+
+    def put_conv_bn(node, conv_key, bn_key):
+        node["conv"]["w"] = import_torch_conv(state[conv_key + ".weight"])
+        node["bn"]["scale"] = state[bn_key + ".weight"]
+        node["bn"]["bias"] = state[bn_key + ".bias"]
+        node["bn"]["mean"] = state[bn_key + ".running_mean"]
+        node["bn"]["var"] = state[bn_key + ".running_var"]
+
+    put_conv_bn(out["stem"], "conv1", "bn1")
+    for si in range(4):
+        stage = out[f"stage{si}"]
+        bi = 0
+        while f"block{bi}" in stage:
+            prefix = f"layer{si + 1}.{bi}"
+            block = stage[f"block{bi}"]
+            for ci in (1, 2, 3):
+                put_conv_bn(block[f"conv{ci}"], f"{prefix}.conv{ci}",
+                            f"{prefix}.bn{ci}")
+            if "down" in block:
+                put_conv_bn(block["down"], f"{prefix}.downsample.0",
+                            f"{prefix}.downsample.1")
+            bi += 1
+    return out
+
+
+def import_state_dict(params: Params, state: dict,
+                      mapping: dict[str, str]) -> tuple[Params, list[str]]:
+    """Generic importer: `mapping` maps OUR flat '/'-joined leaf paths →
+    torch state_dict keys. Conv weights (4-D) are OIHW→HWIO transposed.
+    Returns (new params, list of unmapped torch keys)."""
+    import copy
+
+    from mydetection_tpu.checkpoint import flatten_tree, unflatten_tree
+
+    flat = flatten_tree(jax_to_numpy(params))
+    used = set()
+    for our_key, torch_key in mapping.items():
+        if our_key not in flat:
+            raise KeyError(f"unknown param path {our_key}")
+        val = state[torch_key]
+        if val.ndim == 4:
+            val = import_torch_conv(val)
+        if val.shape != flat[our_key].shape:
+            raise ValueError(
+                f"{our_key}: shape {flat[our_key].shape} vs {val.shape}")
+        flat[our_key] = val.astype(np.float32)
+        used.add(torch_key)
+    unmapped = [k for k in state if k not in used]
+    return unflatten_tree(flat), unmapped

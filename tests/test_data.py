@@ -1,0 +1,153 @@
+"""Data layer tests: COCO dataset parsing, augmentation label math,
+threaded loader determinism + ordering (SURVEY.md §4 / §5.2)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mydetection_tpu.data.coco import CocoDataset, letterbox_labels
+from mydetection_tpu.data.loader import StreamingPipeline, TrainLoader, _ThreadPool
+from mydetection_tpu.data.transforms import hflip, hsv_jitter, rotate, vflip
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(6):
+        w, h = int(rng.randint(80, 200)), int(rng.randint(80, 200))
+        arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(root / f"img{i}.jpg")
+        images.append({"id": i, "file_name": f"img{i}.jpg",
+                       "width": w, "height": h})
+        for j in range(int(rng.randint(0, 4))):
+            bw, bh = float(rng.uniform(10, 30)), float(rng.uniform(10, 30))
+            x = float(rng.uniform(0, w - bw))
+            y = float(rng.uniform(0, h - bh))
+            annotations.append({
+                "id": len(annotations), "image_id": i,
+                "category_id": int(rng.choice([1, 3, 7])),
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+            })
+    gt = {"images": images, "annotations": annotations,
+          "categories": [{"id": c, "name": f"c{c}"} for c in (1, 3, 7)]}
+    with open(root / "ann.json", "w") as fh:
+        json.dump(gt, fh)
+    return root
+
+
+def test_dataset_parsing_and_remap(coco_dir):
+    ds = CocoDataset(str(coco_dir / "ann.json"), str(coco_dir))
+    assert len(ds) == 6
+    assert ds.num_classes == 3
+    assert ds.cat_to_contig == {1: 0, 3: 1, 7: 2}
+    item = ds[0]
+    assert item["image"].ndim == 3
+    assert item["boxes"].shape[1] == 4
+    assert (item["classes"] < 3).all()
+    # cxcywh conversion: centers inside the image
+    if len(item["boxes"]):
+        h, w = item["image"].shape[:2]
+        assert (item["boxes"][:, 0] <= w).all()
+        assert (item["boxes"][:, 1] <= h).all()
+
+
+def test_rotated_dataset_mode(coco_dir):
+    gt = json.load(open(coco_dir / "ann.json"))
+    for ann in gt["annotations"]:
+        bb = ann["bbox"]
+        ann["bbox"] = [bb[0] + bb[2] / 2, bb[1] + bb[3] / 2, bb[2], bb[3], 45.0]
+    ds = CocoDataset(gt, str(coco_dir), rotated=True)
+    item = ds[0]
+    if len(item["boxes"]):
+        assert item["boxes"].shape[1] == 5
+        np.testing.assert_allclose(item["boxes"][:, 4], np.radians(45))
+
+
+def test_flips_roundtrip():
+    img = np.random.RandomState(0).randint(0, 255, (40, 60, 3), np.uint8)
+    boxes = np.array([[10.0, 20, 8, 6, 0.5]], np.float32)
+    img2, b2 = hflip(*hflip(img, boxes))
+    np.testing.assert_array_equal(img2, img)
+    np.testing.assert_allclose(b2, boxes)
+    img3, b3 = vflip(img, boxes)
+    assert b3[0, 1] == 40 - 20
+    assert b3[0, 4] == -0.5
+
+
+def test_rotation_exact_for_rotated_boxes():
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[70.0, 50, 20, 10, 0.2]], np.float32)
+    out_img, out = rotate(img, boxes, 90.0)
+    # CCW 90°: point (70,50) about center (50,50) -> (50, 30)
+    np.testing.assert_allclose(out[0, :2], [50, 30], atol=1e-4)
+    # θ decreases by π/2, wrapped into (-π/2, π/2]
+    expect = np.mod(0.2 - np.pi / 2 + np.pi / 2, np.pi) - np.pi / 2
+    np.testing.assert_allclose(out[0, 4], expect, atol=1e-6)
+    assert out_img.shape == img.shape
+
+
+def test_hsv_jitter_preserves_shape_dtype():
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    out = hsv_jitter(img, np.random.RandomState(1))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_threadpool_ordered_and_exception():
+    import time
+
+    def slow_square(i):
+        time.sleep(0.001 * ((7 - i) % 5))  # adversarial scheduling
+        return i * i
+
+    out = list(_ThreadPool(slow_square, range(20), num_threads=4, prefetch=4))
+    assert out == [i * i for i in range(20)]
+
+    def boom(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    with pytest.raises(ValueError, match="boom"):
+        list(_ThreadPool(boom, range(8), num_threads=2, prefetch=2))
+
+
+def test_streaming_pipeline_batches(coco_dir):
+    paths = [str(coco_dir / f"img{i}.jpg") for i in range(6)]
+    pipe = StreamingPipeline(paths, input_size=64, batch_size=4,
+                             num_threads=2, device_put=False)
+    batches = list(pipe)
+    assert len(batches) == 2
+    canv, infos, bpaths = batches[0]
+    assert canv.shape == (4, 64, 64, 3) and canv.dtype == np.uint8
+    assert len(infos) == 4 and bpaths == paths[:4]
+    canv2, infos2, bpaths2 = batches[1]
+    assert canv2.shape == (4, 64, 64, 3)  # padded to full batch
+    assert len(infos2) == 2 and bpaths2 == paths[4:]
+
+
+def test_train_loader_batches_and_determinism(coco_dir):
+    ds = CocoDataset(str(coco_dir / "ann.json"), str(coco_dir))
+    def batches():
+        loader = TrainLoader(ds, batch_size=2, sizes=[64, 96], max_gt=10,
+                             num_threads=3, seed=7, device_put=False)
+        return list(loader.epoch(0))
+    b1, b2 = batches(), batches()
+    assert len(b1) == 3
+    for (i1, gb1, gc1, gv1, s1), (i2, gb2, gc2, gv2, s2) in zip(b1, b2):
+        assert s1 == s2 and i1.shape == (2, s1, s1, 3)
+        np.testing.assert_array_equal(i1, i2)  # thread-schedule independent
+        np.testing.assert_allclose(gb1, gb2)
+        np.testing.assert_array_equal(gv1, gv2)
+    # labels inside the canvas
+    for imgs, gb, gc, gv, size in b1:
+        assert (gb[gv][:, 0] >= 0).all() and (gb[gv][:, 0] <= size).all()
+
+
+def test_letterbox_labels_math():
+    boxes = np.array([[100.0, 50, 40, 20]], np.float32)
+    out = letterbox_labels(boxes, ratio=0.5, pad_x=10, pad_y=20)
+    np.testing.assert_allclose(out[0], [60, 45, 20, 10])

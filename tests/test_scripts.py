@@ -1,0 +1,78 @@
+"""CLI integration tests: train.py (fresh + resume) and evaluate.py on
+a synthetic COCO dataset (SURVEY.md §4.4)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco_cli")
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(6):
+        w, h = 96, 80
+        arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(root / f"img{i}.jpg")
+        images.append({"id": i, "file_name": f"img{i}.jpg", "width": w,
+                       "height": h})
+        for _ in range(2):
+            bw, bh = float(rng.uniform(10, 30)), float(rng.uniform(10, 30))
+            annotations.append({
+                "id": len(annotations), "image_id": i,
+                "category_id": int(rng.choice([1, 2])),
+                "bbox": [float(rng.uniform(0, w - bw)),
+                         float(rng.uniform(0, h - bh)), bw, bh],
+                "area": bw * bh, "iscrowd": 0})
+    gt = {"images": images, "annotations": annotations,
+          "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}
+    with open(root / "ann.json", "w") as fh:
+        json.dump(gt, fh)
+    return root
+
+
+def run(args, timeout=480):
+    return subprocess.run([sys.executable, *args], cwd=REPO, timeout=timeout,
+                          capture_output=True, text=True)
+
+
+def test_train_and_resume(coco_dir, tmp_path):
+    ckpt_dir = str(tmp_path / "weights")
+    base = ["train.py", "--model", "yolov3", "--ann", str(coco_dir / "ann.json"),
+            "--img-dir", str(coco_dir), "--batch-size", "2", "--sizes", "64",
+            "--max-gt", "8", "--log-every", "2", "--ckpt-dir", ckpt_dir]
+    r = run(base + ["--iterations", "3", "--ckpt-every", "3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(ckpt_dir, "yolov3_3.npz")
+    assert os.path.exists(ckpt), r.stdout[-2000:]
+    metrics = open(os.path.join(ckpt_dir, "yolov3_metrics.jsonl")).read()
+    row = json.loads(metrics.strip().splitlines()[0])
+    assert np.isfinite(row["total"]) and row["iter"] == 2
+
+    r2 = run(base + ["--iterations", "5", "--ckpt-every", "2",
+                     "--resume", ckpt])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed" in r2.stdout
+    assert os.path.exists(os.path.join(ckpt_dir, "yolov3_5.npz"))
+
+
+def test_evaluate_cli(coco_dir, tmp_path):
+    out = str(tmp_path / "results.json")
+    r = run(["evaluate.py", "--model", "yolov3", "--ann",
+             str(coco_dir / "ann.json"), "--img-dir", str(coco_dir),
+             "--input-size", "64", "--batch-size", "4", "--conf-thres", "0.3",
+             "--max-images", "4", "--float32", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "'AP'" in r.stdout or '"AP"' in r.stdout.replace("'", '"')
+    rows = json.load(open(out))
+    assert isinstance(rows, list)
+    for row in rows[:5]:
+        assert set(row) == {"image_id", "category_id", "bbox", "score"}
