@@ -1,0 +1,133 @@
+"""Streaming batched-inference throughput harness.
+
+[spec] configs item 5: "Batched streaming inference: 64-image batches,
+async host JPEG decode + device prefetch" — this harness measures
+end-to-end images/sec INCLUDING host JPEG decode, and proves the
+overlap claim by comparing:
+
+  * pipelined  — StreamingPipeline (threaded decode, double-buffered
+    device batches) feeding the fused detect graph;
+  * serial     — decode a batch, then run it, strictly alternating
+    (what the overlap saves us from).
+
+Also reports the decode-only and device-only rates so the bound is
+visible (min(decode, device) ≈ pipelined when overlap works —
+SURVEY.md §7 hard-part #6: prove decode never gates step time).
+
+Usage: python benchmarks/streaming.py [--batch 64] [--images 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def make_jpegs(n: int, root: str, *, wh=(640, 480)) -> list[str]:
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        arr = rng.randint(0, 255, (wh[1], wh[0], 3), np.uint8)
+        p = os.path.join(root, f"img{i}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--images", type=int, default=256)
+    ap.add_argument("--input-size", type=int, default=416)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--model", default="yolov3")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mydetection_tpu import Detector
+    from mydetection_tpu.data.loader import StreamingPipeline
+    from mydetection_tpu.utils.image_ops import letterbox_np
+
+    on_tpu = jax.default_backend() == "tpu"
+    det = Detector(model_name=args.model, input_size=args.input_size,
+                   compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                   use_pallas=on_tpu)
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_jpegs(args.images, td)
+
+        # warm up the compiled graph
+        warm = np.zeros((args.batch, args.input_size, args.input_size, 3),
+                        np.uint8)
+        from mydetection_tpu.utils.image_ops import LetterboxInfo
+        infos = [LetterboxInfo(640, 480, 1.0, 0, 0, args.input_size)] * args.batch
+        det.detect_prepared(warm, infos, conf_thres=0.3)
+
+        # decode-only rate
+        t0 = time.perf_counter()
+        pipe = StreamingPipeline(paths, input_size=args.input_size,
+                                 batch_size=args.batch,
+                                 num_threads=args.threads, device_put=False)
+        n_batches = 0
+        for canv, infos_b, _ in pipe:
+            n_batches += 1
+        decode_dt = time.perf_counter() - t0
+        decode_ips = len(paths) / decode_dt
+
+        # device-only rate (pre-decoded batch, fetch-forced)
+        t0 = time.perf_counter()
+        iters = max(n_batches, 4)
+        for _ in range(iters):
+            det.detect_prepared(warm, infos, conf_thres=0.3)
+        device_dt = time.perf_counter() - t0
+        device_ips = iters * args.batch / device_dt
+
+        # serial: decode batch, then infer, alternating
+        t0 = time.perf_counter()
+        pipe = StreamingPipeline(paths, input_size=args.input_size,
+                                 batch_size=args.batch, num_threads=args.threads,
+                                 device_put=False)
+        for canv, infos_b, _ in pipe:
+            det.detect_prepared(np.asarray(canv), infos_b, conf_thres=0.3)
+        serial_dt = time.perf_counter() - t0
+        serial_ips = len(paths) / serial_dt
+
+        # pipelined: decode overlapped with device compute
+        t0 = time.perf_counter()
+        pipe = StreamingPipeline(paths, input_size=args.input_size,
+                                 batch_size=args.batch,
+                                 num_threads=args.threads)
+        total_dets = 0
+        for canv, infos_b, _ in pipe:
+            dets = det.detect_prepared(canv, infos_b, conf_thres=0.3)
+            total_dets += sum(len(d) for d in dets)
+        pipe_dt = time.perf_counter() - t0
+        pipe_ips = len(paths) / pipe_dt
+
+    print(json.dumps({
+        "decode_only_img_s": round(decode_ips, 1),
+        "device_only_img_s": round(device_ips, 1),
+        "serial_img_s": round(serial_ips, 1),
+        "pipelined_img_s": round(pipe_ips, 1),
+        "overlap_speedup": round(pipe_ips / max(serial_ips, 1e-9), 3),
+        "bound": round(min(decode_ips, device_ips), 1),
+        "batch": args.batch,
+        "total_dets": total_dets,
+    }))
+
+
+if __name__ == "__main__":
+    main()

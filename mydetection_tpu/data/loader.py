@@ -108,14 +108,34 @@ class StreamingPipeline:
 
     def __init__(self, paths: Sequence[str], *, input_size: int,
                  batch_size: int = 64, num_threads: int = 4,
-                 device_put: bool = True):
+                 device_put: bool = True, native: str | bool = "auto"):
         self.paths = list(paths)
         self.input_size = input_size
         self.batch_size = batch_size
         self.num_threads = num_threads
         self.device_put = device_put
+        # native C++ decode+letterbox (mydetection_tpu.native): ~1.4-2x
+        # faster than PIL and GIL-free for the whole call; "auto" uses
+        # it when the library builds, falling back per-image on non-JPEG
+        # inputs. False forces the PIL path (bit-consistency runs).
+        if native == "auto":
+            from mydetection_tpu import native as native_mod
+
+            self._native = native_mod if native_mod.available() else None
+        elif native:
+            from mydetection_tpu import native as native_mod
+
+            self._native = native_mod
+        else:
+            self._native = None
 
     def _load(self, i: int):
+        if self._native is not None:
+            try:
+                return self._native.decode_letterbox_file(
+                    self.paths[i], self.input_size)
+            except (ValueError, RuntimeError):
+                pass  # non-JPEG or decode failure: PIL fallback
         from PIL import Image
 
         img = Image.open(self.paths[i]).convert("RGB")

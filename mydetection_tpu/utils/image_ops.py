@@ -50,10 +50,10 @@ def letterbox_pil(img: Image.Image, input_size: int) -> tuple[np.ndarray, Letter
     resized = img.resize((new_w, new_h), resample=Image.BILINEAR)
 
     canvas = np.full((input_size, input_size, 3), PAD_VALUE, dtype=np.uint8)
-    pad_x = (input_size - new_w) / 2.0
-    pad_y = (input_size - new_h) / 2.0
-    x0 = int(round(pad_x))
-    y0 = int(round(pad_y))
+    # floor split: unambiguous across languages (round(x.5) is banker's
+    # in Python but half-away in C lround — the native path must agree)
+    x0 = (input_size - new_w) // 2
+    y0 = (input_size - new_h) // 2
     canvas[y0 : y0 + new_h, x0 : x0 + new_w] = np.asarray(resized, dtype=np.uint8)
     info = LetterboxInfo(
         ori_w=ori_w, ori_h=ori_h, ratio=ratio, pad_x=float(x0), pad_y=float(y0),

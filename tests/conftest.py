@@ -29,9 +29,11 @@ def pytest_configure(config):
     env[_SENTINEL] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""  # falsy -> sitecustomize skips register()
-    flags = env.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # NOTE: deliberately ONE cpu device here. Multiple virtual CPU
+    # devices make every executable launch 10x slower on this 1-core
+    # host (measured 2.5 s/step -> 29.5 s/step); the multi-device
+    # sharding checks run in their own 8-device subprocess
+    # (tests/test_sharding.py -> tests/sharding_checks.py).
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 

@@ -44,23 +44,37 @@ def run(args, timeout=480):
                           capture_output=True, text=True)
 
 
-def test_train_and_resume(coco_dir, tmp_path):
+def run_main(script: str, args: list[str], monkeypatch, capsys):
+    """Drive a CLI main() in-process (shares the jit cache across calls
+    — a fresh subprocess per run costs minutes of recompiles on this
+    1-core host)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"_cli_{script}", os.path.join(REPO, f"{script}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [f"{script}.py", *args])
+    mod.main()
+    return capsys.readouterr().out
+
+
+def test_train_and_resume(coco_dir, tmp_path, monkeypatch, capsys):
     ckpt_dir = str(tmp_path / "weights")
-    base = ["train.py", "--model", "yolov3", "--ann", str(coco_dir / "ann.json"),
+    base = ["--model", "yolov3", "--ann", str(coco_dir / "ann.json"),
             "--img-dir", str(coco_dir), "--batch-size", "2", "--sizes", "64",
             "--max-gt", "8", "--log-every", "2", "--ckpt-dir", ckpt_dir]
-    r = run(base + ["--iterations", "3", "--ckpt-every", "3"])
-    assert r.returncode == 0, r.stderr[-2000:]
+    out = run_main("train", base + ["--iterations", "3", "--ckpt-every", "3"],
+                   monkeypatch, capsys)
     ckpt = os.path.join(ckpt_dir, "yolov3_3.npz")
-    assert os.path.exists(ckpt), r.stdout[-2000:]
+    assert os.path.exists(ckpt), out[-2000:]
     metrics = open(os.path.join(ckpt_dir, "yolov3_metrics.jsonl")).read()
     row = json.loads(metrics.strip().splitlines()[0])
     assert np.isfinite(row["total"]) and row["iter"] == 2
 
-    r2 = run(base + ["--iterations", "5", "--ckpt-every", "2",
-                     "--resume", ckpt])
-    assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "resumed" in r2.stdout
+    out2 = run_main("train", base + ["--iterations", "5", "--ckpt-every", "2",
+                                     "--resume", ckpt], monkeypatch, capsys)
+    assert "resumed" in out2
     assert os.path.exists(os.path.join(ckpt_dir, "yolov3_5.npz"))
 
 
