@@ -145,7 +145,8 @@ class Detector:
             if cfg.rotated:
                 return rotated_postprocess_impl(
                     b, s, conf_thres=conf_thres, iou_thres=nms_iou,
-                    pre_nms=cfg.pre_nms, max_dets=cfg.max_dets)
+                    pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
+                    use_pallas=use_pallas)
             return postprocess_impl(
                 b, s, conf_thres=conf_thres, iou_thres=nms_iou,
                 pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,

@@ -140,12 +140,24 @@ pairwise_rotated_iou = jax.jit(pairwise_rotated_iou_impl)
 
 
 def rotated_nms_padded_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
-                       iou_thres: float = 0.45, block: int = 64) -> jnp.ndarray:
-    """Blocked greedy NMS with rotated IoU. boxes (K, 5) score-sorted."""
+                       iou_thres: float = 0.45, block: int = 64,
+                       use_pallas: bool = False) -> jnp.ndarray:
+    """Blocked greedy NMS with rotated IoU. boxes (K, 5) score-sorted.
+
+    The (K, K) rotated-IoU matrix is computed analytically in XLA; the
+    sequential greedy suppression runs either as pure-jax lax loops
+    (oracle/CPU) or as the VMEM-resident Pallas kernel (TPU).
+    """
     k = boxes.shape[0]
     assert k % block == 0, (k, block)
     valid = scores > NEG_INF / 2
     iou = pairwise_rotated_iou_impl(boxes, boxes)
+    if use_pallas:
+        from mydetection_tpu.ops.pallas.rotated_nms_kernel import (
+            nms_from_iou_pallas_impl,
+        )
+        return nms_from_iou_pallas_impl(iou, scores, iou_thres=iou_thres,
+                                        block=block)
     idx = jnp.arange(k)
 
     def outer(b, keep):
@@ -170,7 +182,7 @@ def rotated_nms_padded_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 def rotated_postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                         conf_thres: float, iou_thres: float,
                         pre_nms: int = 512, max_dets: int = 100,
-                        block: int = 64) -> dict:
+                        block: int = 64, use_pallas: bool = False) -> dict:
     """Dense rotated predictions → padded detections (static shapes).
 
     boxes (N, 5) = (cx, cy, w, h, θ_rad); scores (N,) single-class
@@ -185,7 +197,8 @@ def rotated_postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
         top_scores = jnp.concatenate([top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
         top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
     sel = boxes[top_idx]
-    keep = rotated_nms_padded_impl(sel, top_scores, iou_thres=iou_thres, block=block)
+    keep = rotated_nms_padded_impl(sel, top_scores, iou_thres=iou_thres,
+                                   block=block, use_pallas=use_pallas)
     final = jnp.where(keep, top_scores, NEG_INF)
     out_scores, order = jax.lax.top_k(final, max_dets)
     out_valid = out_scores > NEG_INF / 2
@@ -199,7 +212,9 @@ def rotated_postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 
 
 rotated_nms_padded = jax.jit(rotated_nms_padded_impl,
-                             static_argnames=("iou_thres", "block"))
+                             static_argnames=("iou_thres", "block",
+                                              "use_pallas"))
 rotated_postprocess = jax.jit(
     rotated_postprocess_impl,
-    static_argnames=("iou_thres", "pre_nms", "max_dets", "block"))
+    static_argnames=("iou_thres", "pre_nms", "max_dets", "block",
+                     "use_pallas"))

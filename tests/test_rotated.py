@@ -118,3 +118,31 @@ def test_rotated_postprocess():
     assert valid.sum() == 2
     np.testing.assert_allclose(np.asarray(out["boxes"])[0], boxes[0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["boxes"])[1], boxes[2], atol=1e-5)
+
+
+def test_pallas_suppress_matches_oracle():
+    """The Pallas suppress kernel (interpret mode) must reproduce the
+    pure-jax rotated NMS keep-set exactly."""
+    from mydetection_tpu.ops.pallas.rotated_nms_kernel import nms_from_iou_pallas
+    from mydetection_tpu.ops.rotated import (
+        pairwise_rotated_iou,
+        rotated_nms_padded,
+    )
+
+    rng = np.random.RandomState(0)
+    k, n_real = 128, 100
+    boxes = np.zeros((k, 5), np.float32)
+    boxes[:n_real, :2] = rng.uniform(50, 350, (n_real, 2))
+    boxes[:n_real, 2:4] = rng.uniform(20, 90, (n_real, 2))
+    boxes[:n_real, 4] = rng.uniform(-1.5, 1.5, n_real)
+    scores = np.full(k, NEG_INF, np.float32)
+    scores[:n_real] = np.sort(rng.uniform(0, 1, n_real))[::-1]
+
+    expect = np.asarray(rotated_nms_padded(jnp.asarray(boxes),
+                                           jnp.asarray(scores),
+                                           iou_thres=0.3, block=32))
+    iou = pairwise_rotated_iou(jnp.asarray(boxes), jnp.asarray(boxes))
+    got = np.asarray(nms_from_iou_pallas(iou, jnp.asarray(scores),
+                                         iou_thres=0.3, block=32,
+                                         interpret=True))
+    np.testing.assert_array_equal(got, expect)
