@@ -61,10 +61,18 @@ def main(batch: int = 32, iters: int = 20, input_size: int = 416) -> None:
     float(detect(params, imgs)["checksum"])  # compile + warm
     float(detect(params, imgs)["checksum"])
 
+    # depth-2 software pipeline: dispatch iteration i+1 before fetching
+    # i's checksum, overlapping upload/compute with the host fetch.
+    # Every iteration's checksum IS fetched inside the timed region.
     t0 = time.perf_counter()
     acc = 0.0
+    prev = None
     for _ in range(iters):
-        acc += float(detect(params, imgs)["checksum"])  # fetch-forced
+        out = detect(params, imgs)
+        if prev is not None:
+            acc += float(prev)
+        prev = out["checksum"]
+    acc += float(prev)
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
     ips = batch * iters / dt
