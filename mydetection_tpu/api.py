@@ -104,7 +104,7 @@ class Detector:
 
     def __init__(self, model_name: str = "yolov3", weights_path: str | None = None,
                  *, params=None, rng_seed: int = 0, use_pallas: bool | None = None,
-                 **config_overrides):
+                 data_parallel: bool = False, **config_overrides):
         self.model: Model = get_model(model_name, **config_overrides)
         self.cfg = self.model.config
         if use_pallas is None:
@@ -118,6 +118,24 @@ class Detector:
         else:
             self.params = self.model.init(jax.random.PRNGKey(rng_seed))
         self._jitted: dict[tuple, callable] = {}
+        # data-parallel inference over all local chips ([spec]: batch
+        # sharding over the slice mesh — per-image work is independent,
+        # so sharding the batch axis is the whole story)
+        self.mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from mydetection_tpu.parallel.mesh import make_mesh, replicate
+
+            self.mesh = make_mesh()
+            self.params = replicate(self.params, self.mesh)
+
+    def _place_batch(self, canvases):
+        """Device placement for an incoming uint8 batch (sharded when
+        data-parallel; batch size must divide the mesh)."""
+        if self.mesh is None:
+            return jnp.asarray(canvases)
+        from mydetection_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(np.asarray(canvases), self.mesh)
 
     # -- compiled pipeline -------------------------------------------------
 
@@ -179,7 +197,7 @@ class Detector:
     def _run_batch(self, canvases: np.ndarray, conf_thres: float, nms_iou: float,
                    input_size: int) -> dict:
         run = self._pipeline(input_size)
-        out = run(self.params, jnp.asarray(canvases),
+        out = run(self.params, self._place_batch(canvases),
                   jnp.float32(conf_thres), nms_iou=float(nms_iou))
         return jax.device_get(out)
 
@@ -269,6 +287,7 @@ class Detector:
         iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
         size = int(canvases.shape[1])
         run = self._pipeline(size)
-        out = jax.device_get(run(self.params, canvases, jnp.float32(conf),
+        batch = canvases if self.mesh is None else self._place_batch(canvases)
+        out = jax.device_get(run(self.params, batch, jnp.float32(conf),
                                  nms_iou=float(iou)))
         return [self._strip(out, i, infos[i]) for i in range(len(infos))]

@@ -143,6 +143,27 @@ def test_data_parallel_forward_matches_single_device():
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
 
 
+def check_data_parallel_detector():
+    """Detector(data_parallel=True) must produce the same detections as
+    single-device on an 8-image batch."""
+    from mydetection_tpu.api import Detector
+
+    imgs = [np.random.RandomState(i).randint(0, 255, (100, 120, 3), np.uint8)
+            for i in range(8)]
+    d1 = Detector(model_name="yolov3", input_size=64,
+                  compute_dtype=jnp.float32, use_pallas=False)
+    d8 = Detector(model_name="yolov3", input_size=64,
+                  compute_dtype=jnp.float32, use_pallas=False,
+                  data_parallel=True, params=d1.params)
+    assert d8.mesh is not None
+    r1 = d1.detect_batch(imgs, conf_thres=0.3)
+    r8 = d8.detect_batch(imgs, conf_thres=0.3)
+    for a, b in zip(r1, r8):
+        assert len(a) == len(b)
+        if len(a):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+
+
 if __name__ == "__main__":
     test_eight_virtual_devices_present()
     print("devices ok", flush=True)
@@ -156,4 +177,6 @@ if __name__ == "__main__":
     print("train step equivalence ok", flush=True)
     test_data_parallel_forward_matches_single_device()
     print("forward equivalence ok", flush=True)
+    check_data_parallel_detector()
+    print("data-parallel detector ok", flush=True)
     print("ALL SHARDING CHECKS PASSED", flush=True)
