@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write results JSON here")
     ap.add_argument("--float32", action="store_true",
                     help="float32 compute (bit-consistency runs)")
+    ap.add_argument("--rotated", action="store_true",
+                    help="rotated-box evaluation (fisheye datasets, "
+                         "AP50/AP75 with rotated-IoU matching)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -40,18 +43,27 @@ def main() -> None:
         overrides["input_size"] = args.input_size
     if args.float32:
         overrides["compute_dtype"] = jnp.float32
-    # the head's class count must match the GT category set
-    from mydetection_tpu.eval.cocoeval import COCOGt
-    gt = COCOGt(args.ann)
-    if gt.cat_ids:
-        overrides["num_classes"] = len(gt.cat_ids)
-    det = Detector(model_name=args.model, weights_path=args.weights,
-                   **overrides)
-    stats = evaluate_detector(
-        det, gt, args.img_dir, conf_thres=args.conf_thres,
-        nms_iou=args.nms_iou, batch_size=args.batch_size,
-        input_size=args.input_size, max_images=args.max_images,
-        num_threads=args.num_threads, results_path=args.out)
+    if args.rotated:
+        from mydetection_tpu.eval.rotated_eval import evaluate_rotated_detector
+        det = Detector(model_name=args.model, weights_path=args.weights,
+                       **overrides)
+        stats = evaluate_rotated_detector(
+            det, args.ann, args.img_dir, conf_thres=args.conf_thres,
+            nms_iou=args.nms_iou, batch_size=args.batch_size,
+            input_size=args.input_size, max_images=args.max_images)
+    else:
+        # the head's class count must match the GT category set
+        from mydetection_tpu.eval.cocoeval import COCOGt
+        gt = COCOGt(args.ann)
+        if gt.cat_ids:
+            overrides["num_classes"] = len(gt.cat_ids)
+        det = Detector(model_name=args.model, weights_path=args.weights,
+                       **overrides)
+        stats = evaluate_detector(
+            det, gt, args.img_dir, conf_thres=args.conf_thres,
+            nms_iou=args.nms_iou, batch_size=args.batch_size,
+            input_size=args.input_size, max_images=args.max_images,
+            num_threads=args.num_threads, results_path=args.out)
     print({k: round(v, 4) for k, v in stats.items()})
 
 

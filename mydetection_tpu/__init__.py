@@ -17,11 +17,20 @@ Public surface (reference parity, SURVEY.md §2.1/§2.2):
 from mydetection_tpu.api import Detections, Detector
 from mydetection_tpu.registry import Model, ModelConfig, get_model, list_models
 
+
+def evaluate_coco(detector, ann_file, img_dir, **kw):
+    """COCO box-mAP evaluation of a Detector (lazy import)."""
+    from mydetection_tpu.eval.evaluator import evaluate_detector
+
+    return evaluate_detector(detector, ann_file, img_dir, **kw)
+
+
 __all__ = [
     "Detections",
     "Detector",
     "Model",
     "ModelConfig",
+    "evaluate_coco",
     "get_model",
     "list_models",
 ]

@@ -10,8 +10,11 @@ if __name__ == "__main__" and "_SHARDING_CHECKS" not in os.environ:
     env = dict(os.environ, _SHARDING_CHECKS="1", JAX_PLATFORMS="cpu",
                PALLAS_AXON_POOL_IPS="")
     flags = env.get("XLA_FLAGS", "")
+    if "collective_call_terminate_timeout" not in flags:
+        flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
     if "host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags += " --xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = flags.strip()
     os.execvpe(sys.executable, [sys.executable, *sys.argv], env)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

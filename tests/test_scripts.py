@@ -90,3 +90,17 @@ def test_evaluate_cli(coco_dir, tmp_path):
     assert isinstance(rows, list)
     for row in rows[:5]:
         assert set(row) == {"image_id", "category_id", "bbox", "score"}
+
+
+def test_evaluate_cli_rotated(coco_dir, tmp_path, monkeypatch, capsys):
+    gt = json.load(open(coco_dir / "ann.json"))
+    for a in gt["annotations"]:
+        bb = a["bbox"]
+        a["bbox"] = [bb[0] + bb[2] / 2, bb[1] + bb[3] / 2, bb[2], bb[3], 15.0]
+    ann = tmp_path / "rot_ann.json"
+    json.dump(gt, open(ann, "w"))
+    out = run_main("evaluate", [
+        "--model", "rapid", "--ann", str(ann), "--img-dir", str(coco_dir),
+        "--input-size", "64", "--batch-size", "4", "--conf-thres", "0.3",
+        "--max-images", "4", "--float32", "--rotated"], monkeypatch, capsys)
+    assert "AP50" in out
