@@ -27,7 +27,6 @@ class's boxes by `class_id * OFFSET` so cross-class pairs never overlap
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

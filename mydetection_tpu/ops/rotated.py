@@ -24,7 +24,6 @@ RAPiD's degree convention is converted at the API boundary.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
