@@ -91,12 +91,24 @@ def bn_init(c: int) -> Params:
 # ---------------------------------------------------------------------------
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, *, stride: int = 1,
-           padding: str | int = "SAME", compute_dtype=None) -> jnp.ndarray:
-    """NHWC x HWIO conv. `padding` may be 'SAME'/'VALID' or an int."""
+           padding: str | int | None = None, compute_dtype=None) -> jnp.ndarray:
+    """NHWC x HWIO conv. `padding`: None (default) = explicit symmetric
+    (k-1)//2 per side — torch/darknet convention; or 'SAME'/'VALID'/int.
+
+    Symmetric padding matters for stride-2 convs: XLA 'SAME' pads
+    asymmetrically ((0,1) for 3x3 s2 on even inputs) which shifts every
+    downsampled feature map by one pixel vs the reference darknet /
+    torchvision weights (SURVEY.md §7 hard-part #3 — a silent
+    mAP-killer for imported checkpoints). At stride 1 with odd kernels
+    the two conventions coincide, so this default is safe everywhere.
+    """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    if isinstance(padding, int):
+    if padding is None:
+        ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
+        padding = [(ph, ph), (pw, pw)]
+    elif isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
@@ -174,7 +186,14 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
-def max_pool(x: jnp.ndarray, window: int, stride: int, padding="SAME") -> jnp.ndarray:
+def max_pool(x: jnp.ndarray, window: int, stride: int,
+             padding: str | int | None = None) -> jnp.ndarray:
+    """Max pool. `padding` None/int = explicit symmetric pad with -inf
+    (torch MaxPool2d convention — same stride-2 parity issue as conv2d)."""
+    if padding is None:
+        padding = (window - 1) // 2
+    if isinstance(padding, int):
+        padding = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1), padding
     )

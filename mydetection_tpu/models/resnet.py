@@ -103,7 +103,7 @@ def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
     if train:
         updates["stem"] = s
     y = jnp.maximum(y, 0.0)
-    y = max_pool(y, 3, 2, padding="SAME")
+    y = max_pool(y, 3, 2)  # torch MaxPool2d(3, 2, padding=1): symmetric -inf pad
 
     feats = []
     for si, nblocks in enumerate(STAGE_BLOCKS[depth]):

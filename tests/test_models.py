@@ -116,3 +116,30 @@ def test_forward_dense_uint8_entry():
     assert dense["scores"].shape == (2, n, 80)
     assert updates is None
     assert np.isfinite(np.asarray(dense["boxes"])).all()
+
+
+def test_stride2_padding_matches_torch():
+    """Stride-2 convs / max-pool must use symmetric (torch/darknet)
+    padding, not XLA 'SAME' — on even inputs SAME pads (0,1) and shifts
+    every downsampled feature map by one pixel, which silently breaks
+    imported official weights (SURVEY.md §7 hard-part #3)."""
+    torch = __import__("torch")
+    import torch.nn.functional as F
+
+    from mydetection_tpu.models.layers import conv2d, max_pool
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 16, 5).astype(np.float32)          # NHWC, even H/W
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))          # NCHW
+
+    for k, pad in ((3, 1), (7, 3)):
+        w = rng.randn(k, k, 5, 6).astype(np.float32)        # HWIO
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))      # OIHW
+        ours = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), stride=2))
+        ref = F.conv2d(xt, wt, stride=2, padding=pad).numpy()
+        np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    ours = np.asarray(max_pool(jnp.asarray(x), 3, 2))
+    ref = F.max_pool2d(xt, 3, stride=2, padding=1).numpy()
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref)
