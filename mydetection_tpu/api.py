@@ -129,13 +129,21 @@ class Detector:
             self.params = replicate(self.params, self.mesh)
 
     def _place_batch(self, canvases):
-        """Device placement for an incoming uint8 batch (sharded when
-        data-parallel; batch size must divide the mesh)."""
+        """Device placement for an incoming uint8 batch. When
+        data-parallel, the batch is padded (repeat last row) up to the
+        next multiple of the mesh size so ANY batch size shards —
+        including detect_one's batch of 1. Callers only ever read
+        results for the real rows (they index by letterbox infos), so
+        the padded rows' outputs are simply dropped."""
         if self.mesh is None:
             return jnp.asarray(canvases)
         from mydetection_tpu.parallel.mesh import shard_batch
 
-        return shard_batch(np.asarray(canvases), self.mesh)
+        arr = np.asarray(canvases)
+        pad = (-arr.shape[0]) % self.mesh.devices.size
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        return shard_batch(arr, self.mesh)
 
     # -- compiled pipeline -------------------------------------------------
 

@@ -179,6 +179,23 @@ def normalize_input(images_u8: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.nd
     return images_u8.astype(compute_dtype) / jnp.asarray(255.0, compute_dtype)
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def standardize_imagenet(x01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] RGB → ImageNet-standardized, in-graph.
+
+    torchvision-pretrained ResNet backbones (the import target of
+    weight_import.import_resnet_state_dict) were trained on
+    mean/std-standardized inputs; feeding plain [0,1] mis-scales every
+    BN running stat. YOLO-family stays at plain /255 (darknet idiom).
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, x01.dtype)
+    std = jnp.asarray(IMAGENET_STD, x01.dtype)
+    return (x01 - mean) / std
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample, NHWC (YOLOv3 neck idiom)."""
     b, h, w, c = x.shape

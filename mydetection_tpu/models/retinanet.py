@@ -175,20 +175,23 @@ def loss(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     best_gt_iou = jnp.max(iou, axis=-1)                       # (B, N)
     best_gt = jnp.argmax(iou, axis=-1)                        # (B, N)
 
-    # force-match: the best anchor of each valid GT becomes positive
+    # force-match: the best anchor of each valid GT becomes positive.
+    # Scatter with MAX semantics (-1 = no vote): every padded/invalid GT
+    # votes for anchor 0 (argmax of its constant -1 IoU row), and a
+    # plain .set there has undefined duplicate-index order that could
+    # clobber a valid GT's force on the same anchor.
     best_anchor = jnp.argmax(iou, axis=1)                     # (B, M)
     b, n, m = iou.shape
-    force = jnp.zeros((b, n), bool)
     bidx = jnp.arange(b)[:, None].repeat(m, 1)
-    force = force.at[bidx, best_anchor].set(
-        jnp.where(gt_valid, True, force[bidx, best_anchor]))
-    forced_gt = jnp.zeros((b, n), jnp.int32)
-    forced_gt = forced_gt.at[bidx, best_anchor].set(
-        jnp.where(gt_valid, jnp.arange(m)[None, :].repeat(b, 0), 0))
+    gt_idx = jnp.arange(m)[None, :].repeat(b, 0)
+    force_votes = jnp.full((b, n), -1, jnp.int32).at[bidx, best_anchor].max(
+        jnp.where(gt_valid, gt_idx, -1))
+    force = force_votes >= 0
 
     positive = (best_gt_iou >= POS_IOU) | force
     negative = (best_gt_iou < NEG_IOU) & ~force
-    matched_gt = jnp.where(force, forced_gt, best_gt)         # (B, N)
+    matched_gt = jnp.where(force, jnp.maximum(force_votes, 0),
+                           best_gt)                           # (B, N)
 
     tgt_cls = jnp.take_along_axis(gt_classes, matched_gt, axis=1)  # (B, N)
     cls_onehot = jax.nn.one_hot(tgt_cls, num_classes) * positive[..., None]

@@ -167,6 +167,7 @@ def _build_retinanet(depth: int):
                 x = L.normalize_input(x, cfg.compute_dtype)
             else:
                 x = x.astype(cfg.compute_dtype)
+            x = L.standardize_imagenet(x)  # torchvision backbone convention
             feats, bu = resnet.apply(params["backbone"], x, depth=depth,
                                      train=train, compute_dtype=cfg.compute_dtype)
             pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)
@@ -270,6 +271,7 @@ def _build_fcos(cfg: ModelConfig) -> Model:
             x = L.normalize_input(x, cfg.compute_dtype)
         else:
             x = x.astype(cfg.compute_dtype)
+        x = L.standardize_imagenet(x)  # torchvision backbone convention
         feats, bu = resnet.apply(params["backbone"], x, depth=50,
                                  train=train, compute_dtype=cfg.compute_dtype)
         pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)

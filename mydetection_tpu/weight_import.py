@@ -218,3 +218,115 @@ def import_state_dict(params: Params, state: dict,
         used.add(torch_key)
     unmapped = [k for k in state if k not in used]
     return unflatten_tree(flat), unmapped
+
+
+# ---------------------------------------------------------------------------
+# torchvision detection-model head importers (SURVEY.md §7 PR3)
+# ---------------------------------------------------------------------------
+
+def _get(state: dict, *candidates: str) -> np.ndarray:
+    """First present key among torchvision naming variants.
+
+    torchvision ≥0.12 wraps head convs in Conv2dNormActivation
+    ('conv.0.0.weight'); older releases used flat Sequentials
+    ('conv.0.weight' with ReLUs at odd indices). FPN inner/layer blocks
+    have the same two spellings.
+    """
+    for k in candidates:
+        if k in state:
+            return state[k]
+    raise KeyError(f"none of {candidates} in state dict")
+
+
+def _put_conv(node: Params, state: dict, *weight_keys: str) -> None:
+    node["w"] = import_torch_conv(_get(state, *weight_keys))
+    node["b"] = _get(state, *(k.replace(".weight", ".bias")
+                              for k in weight_keys))
+
+
+def _import_fpn(fpn_params: Params, state: dict,
+                prefix: str = "backbone.fpn.") -> Params:
+    """torchvision BackboneWithFPN fpn block → our fpn tree.
+
+    inner_blocks.{0,1,2} = 1x1 laterals on C3/C4/C5; layer_blocks = 3x3
+    smoothing; extra_blocks.p6/p7 = the RetinaNet LastLevelP6P7 convs.
+    """
+    import copy
+
+    out = copy.deepcopy(jax_to_numpy(fpn_params))
+    for i, lvl in enumerate((3, 4, 5)):
+        _put_conv(out[f"lateral{lvl}"], state,
+                  f"{prefix}inner_blocks.{i}.0.weight",
+                  f"{prefix}inner_blocks.{i}.weight")
+        _put_conv(out[f"smooth{lvl}"], state,
+                  f"{prefix}layer_blocks.{i}.0.weight",
+                  f"{prefix}layer_blocks.{i}.weight")
+    _put_conv(out["p6"], state, f"{prefix}extra_blocks.p6.weight")
+    _put_conv(out["p7"], state, f"{prefix}extra_blocks.p7.weight")
+    return out
+
+
+def _strip_prefix(state: dict, prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in state.items()
+            if k.startswith(prefix)}
+
+
+def import_retinanet_state_dict(params: Params, state: dict) -> Params:
+    """torchvision `retinanet_resnet50_fpn` state_dict → our param tree.
+
+    Anchor-order note: our head reshape (B,H,W,A*C)→(N,C) and
+    torchvision's both flatten level-major, cell row-major, anchor
+    fastest, with anchors ratio-major/scale-minor — verified by
+    tests/test_weight_import.py::test_retinanet_anchor_order. Residual
+    parity caveats vs torchvision (documented, not blocking import):
+    torchvision rounds base anchors to ints and centers them at
+    grid*stride (we use (grid+0.5)*stride).
+    """
+    import copy
+
+    out = copy.deepcopy(jax_to_numpy(params))
+    out["backbone"] = import_resnet_state_dict(
+        out["backbone"], _strip_prefix(state, "backbone.body."))
+    out["fpn"] = _import_fpn(out["fpn"], state)
+    for our, tv in (("cls", "classification_head"),
+                    ("box", "regression_head")):
+        sub = out["head"][our]
+        for i in range(4):
+            _put_conv(sub[f"conv{i}"], state,
+                      f"head.{tv}.conv.{i}.0.weight",
+                      f"head.{tv}.conv.{2 * i}.weight")
+        final = "cls_logits" if our == "cls" else "bbox_reg"
+        _put_conv(sub["out"], state, f"head.{tv}.{final}.weight")
+    return out
+
+
+def import_fcos_state_dict(params: Params, state: dict) -> Params:
+    """torchvision `fcos_resnet50_fpn` state_dict → our param tree.
+
+    torchvision's FCOS head conv blocks are Conv2dNormActivation
+    (conv at .0, GroupNorm at .1); centerness rides the regression
+    tower (bbox_ctrness), matching our ctr_out placement. torchvision
+    FCOS has no learnable per-level scales — ours stay at their init
+    (1.0) and the importer leaves them untouched.
+    """
+    import copy
+
+    out = copy.deepcopy(jax_to_numpy(params))
+    out["backbone"] = import_resnet_state_dict(
+        out["backbone"], _strip_prefix(state, "backbone.body."))
+    out["fpn"] = _import_fpn(out["fpn"], state)
+    head = out["head"]
+    for tower_key, tv in (("cls_tower", "classification_head"),
+                          ("box_tower", "regression_head")):
+        tower = head[tower_key]
+        for i in range(4):
+            _put_conv(tower[f"conv{i}"], state,
+                      f"head.{tv}.conv.{i}.0.weight")
+            tower[f"gn{i}"]["scale"] = state[f"head.{tv}.conv.{i}.1.weight"]
+            tower[f"gn{i}"]["bias"] = state[f"head.{tv}.conv.{i}.1.bias"]
+    _put_conv(head["cls_out"], state,
+              "head.classification_head.cls_logits.weight")
+    _put_conv(head["box_out"], state, "head.regression_head.bbox_reg.weight")
+    _put_conv(head["ctr_out"], state,
+              "head.regression_head.bbox_ctrness.weight")
+    return out

@@ -165,6 +165,16 @@ def check_data_parallel_detector():
         assert len(a) == len(b)
         if len(a):
             np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+    # non-divisible batches: _place_batch pads to the mesh multiple
+    s1 = d1.detect_one(np_img=imgs[0], conf_thres=0.3)
+    s8 = d8.detect_one(np_img=imgs[0], conf_thres=0.3)
+    assert len(s1) == len(s8)
+    if len(s1):
+        np.testing.assert_allclose(s1.scores, s8.scores, atol=1e-4)
+    r3 = d8.detect_batch(imgs[:3], conf_thres=0.3)
+    assert len(r3) == 3
+    for a, b in zip(r1[:3], r3):
+        assert len(a) == len(b)
 
 
 if __name__ == "__main__":

@@ -102,7 +102,11 @@ def test_loss_no_valid_gt():
 def test_end_to_end_forward_shapes():
     model = get_model("retinanet", input_size=128, compute_dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0))
-    imgs = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+    # ImageNet-mean pixels standardize to ~0, so untrained scores
+    # sit at the prior-prob bias (zero pixels standardize to ~-2
+    # and swamp it through random weights)
+    imgs = jnp.broadcast_to(jnp.asarray([124, 116, 104], jnp.uint8),
+                            (1, 128, 128, 3))
     dense, _ = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
     n = sum(h * w for h, w in retinanet.level_shapes(128)) * 9
     assert dense["boxes"].shape == (1, n, 4)

@@ -150,3 +150,142 @@ def test_imported_weights_change_activations():
     f = jax.jit(lambda p: model.forward_dense(p, x)[0]["scores"])
     s1, s2 = f(p1), f(jax.tree_util.tree_map(jnp.asarray, p2))
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def _fake_fpn_state(fpn_params, rng, *, new_style=True):
+    """torchvision BackboneWithFPN-style fpn keys (backbone.fpn.*)."""
+    state = {}
+    mid = ".0" if new_style else ""
+    for i, lvl in enumerate((3, 4, 5)):
+        for tv, ours in ((f"inner_blocks.{i}", f"lateral{lvl}"),
+                         (f"layer_blocks.{i}", f"smooth{lvl}")):
+            kh, kw, ci, co = fpn_params[ours]["w"].shape
+            state[f"backbone.fpn.{tv}{mid}.weight"] = rng.randn(
+                co, ci, kh, kw).astype(np.float32)
+            state[f"backbone.fpn.{tv}{mid}.bias"] = rng.randn(co).astype(np.float32)
+    for p in ("p6", "p7"):
+        kh, kw, ci, co = fpn_params[p]["w"].shape
+        state[f"backbone.fpn.extra_blocks.{p}.weight"] = rng.randn(
+            co, ci, kh, kw).astype(np.float32)
+        state[f"backbone.fpn.extra_blocks.{p}.bias"] = rng.randn(co).astype(np.float32)
+    return state
+
+
+def _conv_entry(rng, node, key):
+    kh, kw, ci, co = node["w"].shape
+    return {f"{key}.weight": rng.randn(co, ci, kh, kw).astype(np.float32),
+            f"{key}.bias": rng.randn(co).astype(np.float32)}
+
+
+def test_retinanet_state_dict_import():
+    from mydetection_tpu.weight_import import import_retinanet_state_dict
+
+    model = get_model("retinanet", input_size=128)
+    params = jax_to_numpy(model.init(jax.random.PRNGKey(0)))
+    rng = np.random.RandomState(7)
+    state = {"backbone.body." + k: v for k, v in
+             _fake_torch_resnet_state(params["backbone"]).items()}
+    state.update(_fake_fpn_state(params["fpn"], rng))
+    for our, tv in (("cls", "classification_head"), ("box", "regression_head")):
+        for i in range(4):
+            state.update(_conv_entry(rng, params["head"][our][f"conv{i}"],
+                                     f"head.{tv}.conv.{i}.0"))
+        final = "cls_logits" if our == "cls" else "bbox_reg"
+        state.update(_conv_entry(rng, params["head"][our]["out"],
+                                 f"head.{tv}.{final}"))
+    loaded = import_retinanet_state_dict(params, state)
+    np.testing.assert_allclose(
+        loaded["fpn"]["lateral4"]["w"],
+        np.transpose(state["backbone.fpn.inner_blocks.1.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        loaded["head"]["cls"]["out"]["b"],
+        state["head.classification_head.cls_logits.bias"])
+    np.testing.assert_allclose(
+        loaded["head"]["box"]["conv2"]["w"],
+        np.transpose(state["head.regression_head.conv.2.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        loaded["backbone"]["stem"]["bn"]["mean"],
+        state["backbone.body.bn1.running_mean"])
+    # old-style flat-Sequential head names (torchvision < 0.12) also import
+    state_old = {}
+    for k, v in state.items():
+        k2 = k
+        for i in range(4):
+            k2 = k2.replace(f".conv.{i}.0.", f".conv.{2 * i}.")
+        k2 = k2.replace("inner_blocks.0.0.", "inner_blocks.0.").replace(
+            "inner_blocks.1.0.", "inner_blocks.1.").replace(
+            "inner_blocks.2.0.", "inner_blocks.2.").replace(
+            "layer_blocks.0.0.", "layer_blocks.0.").replace(
+            "layer_blocks.1.0.", "layer_blocks.1.").replace(
+            "layer_blocks.2.0.", "layer_blocks.2.")
+        state_old[k2] = v
+    loaded_old = import_retinanet_state_dict(params, state_old)
+    tree_allclose(loaded, loaded_old)
+
+
+def test_fcos_state_dict_import():
+    from mydetection_tpu.weight_import import import_fcos_state_dict
+
+    model = get_model("fcos", input_size=128)
+    params = jax_to_numpy(model.init(jax.random.PRNGKey(0)))
+    rng = np.random.RandomState(11)
+    state = {"backbone.body." + k: v for k, v in
+             _fake_torch_resnet_state(params["backbone"]).items()}
+    state.update(_fake_fpn_state(params["fpn"], rng))
+    for tower, tv in (("cls_tower", "classification_head"),
+                      ("box_tower", "regression_head")):
+        for i in range(4):
+            state.update(_conv_entry(rng, params["head"][tower][f"conv{i}"],
+                                     f"head.{tv}.conv.{i}.0"))
+            c = params["head"][tower][f"gn{i}"]["scale"].shape[0]
+            state[f"head.{tv}.conv.{i}.1.weight"] = rng.randn(c).astype(np.float32)
+            state[f"head.{tv}.conv.{i}.1.bias"] = rng.randn(c).astype(np.float32)
+    state.update(_conv_entry(rng, params["head"]["cls_out"],
+                             "head.classification_head.cls_logits"))
+    state.update(_conv_entry(rng, params["head"]["box_out"],
+                             "head.regression_head.bbox_reg"))
+    state.update(_conv_entry(rng, params["head"]["ctr_out"],
+                             "head.regression_head.bbox_ctrness"))
+    loaded = import_fcos_state_dict(params, state)
+    np.testing.assert_allclose(
+        loaded["head"]["cls_tower"]["gn3"]["scale"],
+        state["head.classification_head.conv.3.1.weight"])
+    np.testing.assert_allclose(
+        loaded["head"]["ctr_out"]["b"],
+        state["head.regression_head.bbox_ctrness.bias"])
+    np.testing.assert_allclose(
+        loaded["head"]["box_tower"]["conv0"]["w"],
+        np.transpose(state["head.regression_head.conv.0.0.weight"], (2, 3, 1, 0)))
+    # per-level scales have no torchvision counterpart: untouched
+    np.testing.assert_allclose(loaded["head"]["scales"],
+                               params["head"]["scales"])
+
+
+def test_retinanet_anchor_order():
+    """The anchor table's flatten order must equal the head reshape's:
+    level-major, row-major cells, anchors fastest — with the 9 shapes
+    ratio-major/scale-minor exactly as torchvision's AnchorGenerator
+    emits them (w_ratios[:,None]*scales[None,:]).view(-1)."""
+    from mydetection_tpu.models import retinanet as rn
+
+    anchors = np.asarray(rn.generate_anchors(128))
+    shapes = rn.level_shapes(128)
+    a = rn.NUM_ANCHORS
+    # level-major offsets
+    off = 0
+    for stride, (h, w) in zip(rn.STRIDES, shapes):
+        cell = anchors[off: off + h * w * a].reshape(h, w, a, 4)
+        # anchor centers constant across the 9 shapes of one cell
+        np.testing.assert_allclose(cell[1 % h, 2 % w, :, 0],
+                                   ((2 % w) + 0.5) * stride)
+        # ratio-major/scale-minor: torchvision formula
+        k = 0
+        for ratio in rn.ASPECT_RATIOS:
+            for scale in rn.OCTAVE_SCALES:
+                wexp = 4.0 * scale * stride / np.sqrt(ratio)
+                np.testing.assert_allclose(cell[0, 0, k, 2], wexp, rtol=1e-5)
+                np.testing.assert_allclose(cell[0, 0, k, 3] / cell[0, 0, k, 2],
+                                           ratio, rtol=1e-5)
+                k += 1
+        off += h * w * a
+    assert off == anchors.shape[0]
