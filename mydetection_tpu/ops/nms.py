@@ -104,8 +104,10 @@ batched_class_nms = jax.jit(batched_class_nms_impl,
 
 def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                      conf_thres: float, iou_thres: float,
+                     classes: jnp.ndarray | None = None,
                      pre_nms: int = 1024, max_dets: int = 100,
-                     block: int = 128, use_pallas: bool = False) -> dict:
+                     block: int = 128, use_pallas: bool = False,
+                     multi_label: bool = True) -> dict:
     """Dense predictions → final padded detections. Fully static shapes.
 
     This replaces the reference's host-side `conf filter → per-class NMS`
@@ -116,12 +118,45 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
       3. class-offset greedy NMS,
       4. top-`max_dets` kept rows + validity mask.
 
+    `multi_label=False` takes each box's best class only (max/argmax) —
+    the YOLO decode idiom the reference uses for the darknet-family
+    heads [recalled; SURVEY.md §2.5 per-branch decode]; RetinaNet/FCOS
+    emit (box, class) pairs. Single-label also skips the second-stage
+    top-k (a full 81,920-element sort at C=80 — ~3 ms/batch-32 on TPU).
+
     Args:
       boxes:  (N, 4) xyxy in network coords.
-      scores: (N, C) final per-class scores (already obj*cls etc.).
+      scores: (N, C) final per-class scores (already obj*cls etc.), or
+              (N,) pre-reduced per-box scores with `classes` (N,) given
+              (the single-label decode fast path — the class reduction
+              then fuses into the head instead of re-reading N×C here).
     Returns dict of (max_dets,...) arrays: boxes, scores, classes, valid.
     """
-    n, c = scores.shape
+    if scores.ndim == 1:
+        if classes is None:
+            raise ValueError("1-D scores require a classes vector")
+        multi_label = False
+    if not multi_label:
+        n = scores.shape[0]
+        if scores.ndim == 1:
+            box_max, box_cls = scores, classes.astype(jnp.int32)
+        else:
+            box_max = jnp.max(scores, axis=1)                # (N,)
+            box_cls = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        gated = jnp.where(box_max >= conf_thres, box_max, NEG_INF)
+        k = min(pre_nms, n)
+        top_scores, box_idx = jax.lax.top_k(gated, k)
+        if k < pre_nms:
+            pad = pre_nms - k
+            top_scores = jnp.concatenate(
+                [top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
+            box_idx = jnp.concatenate(
+                [box_idx, jnp.zeros((pad,), box_idx.dtype)])
+        cls_idx = box_cls[box_idx]
+        sel_boxes = boxes[box_idx]                          # (pre_nms, 4)
+        return _nms_and_select(sel_boxes, top_scores, cls_idx,
+                               iou_thres=iou_thres, max_dets=max_dets,
+                               block=block, use_pallas=use_pallas)
     # Two-stage EXACT top-k over (box, class) pairs — ~8x cheaper than
     # one top_k over all N*C scores (21 ms -> small at batch 32/TPU).
     # Stage 1 keeps the pre_nms boxes with the highest max-class score:
@@ -129,6 +164,7 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     # more than pre_nms boxes above the pair cutoff would mean more
     # than pre_nms pairs above it — contradiction. So (modulo ties at
     # the cutoff) the surviving boxes host every true top pair.
+    n, c = scores.shape
     kb = min(pre_nms, n)
     box_max = jnp.max(scores, axis=1)                       # (N,)
     _, box_sel = jax.lax.top_k(box_max, kb)                 # (kb,)
@@ -145,6 +181,14 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     cls_idx = (top_idx % c).astype(jnp.int32)
     sel_boxes = boxes[box_idx]  # (pre_nms, 4)
 
+    return _nms_and_select(sel_boxes, top_scores, cls_idx,
+                           iou_thres=iou_thres, max_dets=max_dets,
+                           block=block, use_pallas=use_pallas)
+
+
+def _nms_and_select(sel_boxes, top_scores, cls_idx, *, iou_thres, max_dets,
+                    block, use_pallas) -> dict:
+    """Class-offset NMS over sorted candidates + final top-max_dets."""
     if use_pallas:
         from mydetection_tpu.ops.pallas.nms_kernel import nms_pallas_impl
         offset = sel_boxes + (cls_idx.astype(sel_boxes.dtype) * CLASS_OFFSET)[:, None]
@@ -169,7 +213,8 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 
 postprocess = jax.jit(
     postprocess_impl,
-    static_argnames=("iou_thres", "pre_nms", "max_dets", "block", "use_pallas"),
+    static_argnames=("iou_thres", "pre_nms", "max_dets", "block",
+                     "use_pallas", "multi_label"),
 )
 # Call `postprocess_impl` (undecorated) when composing into a larger
 # jitted graph — nesting the jitted wrapper inside another trace

@@ -77,15 +77,37 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float, block: int)
 
         bk0 = extract(keep_ref[0:1, :])  # (BLOCK, 1) keep flags
 
-        def inner(i, bk):
-            # intra is symmetric: row i == column i, read via lane mask
-            intra_i = jnp.sum(jnp.where(col_b == i, intra, 0.0), axis=1,
-                              keepdims=True)                     # (B, 1)
-            ki = jnp.sum(jnp.where(row_col == i, bk, 0.0))       # 0-d
-            sup = (intra_i > iou_thres) & (row_col > i) & (ki > 0.5)
-            return jnp.where(sup, 0.0, bk)
+        # Intra-block greedy resolve as a FIXPOINT iteration instead of
+        # a BLOCK-step sequential scan. The greedy keep-vector is the
+        # unique fixpoint of
+        #     f(k)[j] = valid[j] ∧ ¬∃i<j: k[i] ∧ iou[i,j] > t
+        # (unique by induction on j: each entry is forced by the
+        # prefix). Iterating k ← f(k) from k = valid stabilizes the
+        # length-t prefix after t steps, so exiting when f(k) == k
+        # yields exactly the greedy answer — identical to the oracle —
+        # in a handful of vectorized (B, B) passes for real box sets
+        # instead of always-B scalar-ish steps (~5.8 ms → sub-ms for
+        # batch-32×K=1024 on v5e).
+        sup_mat = jnp.where((intra > iou_thres) & (col_b > row_col),
+                            1.0, 0.0)                        # [i, j]: i<j
+        eye_b = (col_b == row_col).astype(jnp.float32)       # (B, B)
 
-        bk = jax.lax.fori_loop(0, block, inner, bk0)
+        def f(k):  # k: (B, 1) keep flags as {0,1} over rows
+            # suppressed[j] = max_i sup_mat[i, j] * k[i]  → lanes (1, B)
+            sup_j = jnp.max(sup_mat * k, axis=0, keepdims=True)
+            # transpose (1, B) → (B, 1) via identity-masked reduction
+            sup_rows = jnp.sum(eye_b * sup_j, axis=1, keepdims=True)
+            return bk0 * (1.0 - sup_rows)
+
+        def cond(state):
+            k, kn = state
+            return jnp.sum(jnp.abs(kn - k)) > 0.0
+
+        def step(state):
+            _, kn = state
+            return kn, f(kn)
+
+        _, bk = jax.lax.while_loop(cond, step, (bk0, f(bk0)))
 
         # resolved block suppresses all later boxes in one pass
         sup_any = jnp.max(

@@ -35,6 +35,10 @@ class ModelConfig:
     pre_nms: int = 1024
     max_dets: int = 100
     rotated: bool = False
+    # multi_label: emit every (box, class) pair above conf (RetinaNet/
+    # FCOS convention); False = per-box best class only (the reference's
+    # YOLO decode idiom [recalled; SURVEY.md §2.5]).
+    multi_label: bool = True
     compute_dtype: Any = jnp.bfloat16  # conv compute; decode is always f32
     class_names: tuple[str, ...] | None = None
 
@@ -94,7 +98,9 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
         return {"backbone": darknet.init(ks[0]), "head": yolov3.init(ks[1], nc)}
 
     def forward_dense(params, images, *, train: bool = False):
-        """images: uint8 or float NHWC. Returns dense (boxes, scores)."""
+        """images: uint8 or float NHWC. Returns dense (boxes, scores[,
+        classes]) — single-label configs pre-reduce the class axis in
+        the decode (scores (B, N), classes (B, N))."""
         x = images
         if x.dtype == jnp.uint8:
             x = L.normalize_input(x, cfg.compute_dtype)
@@ -104,10 +110,16 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
                                   compute_dtype=cfg.compute_dtype)
         raw, hu = yolov3.apply(params["head"], feats, train=train,
                                compute_dtype=cfg.compute_dtype)
-        decoded = yolov3.decode(raw, nc)
         from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
-        dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),  # xyxy for NMS
-                 "scores": yolov3.scores_from(decoded)}
+        if cfg.multi_label:
+            decoded = yolov3.decode(raw, nc)
+            dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),  # xyxy for NMS
+                     "scores": yolov3.scores_from(decoded)}
+        else:
+            decoded = yolov3.decode_single_label(raw, nc)
+            dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),
+                     "scores": decoded["scores"],
+                     "classes": decoded["classes"]}
         updates = None
         if train:
             updates = {"backbone": bu, "head": hu}
@@ -138,9 +150,11 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
 
 
 register("yolov3", ModelConfig(name="yolov3", family="yolov3",
-                               num_classes=80, input_size=416))(_build_yolov3)
+                               num_classes=80, input_size=416,
+                               multi_label=False))(_build_yolov3)
 register("yolov3_608", ModelConfig(name="yolov3_608", family="yolov3",
-                                   num_classes=80, input_size=608))(_build_yolov3)
+                                   num_classes=80, input_size=608,
+                                   multi_label=False))(_build_yolov3)
 
 
 # ---------------------------------------------------------------------------

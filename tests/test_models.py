@@ -113,9 +113,33 @@ def test_forward_dense_uint8_entry():
     dense, updates = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
     n = (4 * 4 + 8 * 8 + 16 * 16) * 3
     assert dense["boxes"].shape == (2, n, 4)
-    assert dense["scores"].shape == (2, n, 80)
+    # yolov3 is single-label: per-box best-class score + class id
+    assert dense["scores"].shape == (2, n)
+    assert dense["classes"].shape == (2, n)
+    assert dense["classes"].dtype == jnp.int32
     assert updates is None
     assert np.isfinite(np.asarray(dense["boxes"])).all()
+
+
+def test_single_label_decode_matches_dense_reduction():
+    """decode_single_label must equal max/argmax over the dense
+    multi-label scores (sigmoid is monotone, so reducing logits first
+    is exact)."""
+    rng = np.random.RandomState(0)
+    sizes = [(4, 4), (8, 8), (16, 16)]  # P5, P4, P3 at input 128
+    # modest logit magnitude so f32 sigmoid does NOT saturate (untrained
+    # conv outputs saturate to exactly 1.0 and tie every argmax)
+    raw = [jnp.asarray(2.0 * rng.randn(2, h, w, 3 * 85).astype(np.float32))
+           for h, w in sizes]
+    d1 = yolov3.decode_single_label(raw, 80)
+    d2 = yolov3.decode(raw, 80)
+    s2 = np.asarray(yolov3.scores_from(d2))
+
+    np.testing.assert_allclose(np.asarray(d1["boxes"]),
+                               np.asarray(d2["boxes"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1["scores"]), s2.max(-1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(d1["classes"]), s2.argmax(-1))
 
 
 def test_stride2_padding_matches_torch():
