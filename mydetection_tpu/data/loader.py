@@ -16,7 +16,7 @@ Two front-ends:
 
 Determinism: each item's augmentation RNG is seeded by (epoch, index),
 so results are independent of thread scheduling (SURVEY.md §5.2 —
-deterministic-order assertion is in tests/test_loader.py).
+deterministic-order assertion is in tests/test_data.py).
 """
 
 from __future__ import annotations
@@ -196,7 +196,8 @@ class TrainLoader:
 
     def __init__(self, dataset, *, batch_size: int, sizes: Sequence[int],
                  max_gt: int = 100, num_threads: int = 4, augment: bool = True,
-                 rotated: bool = False, rescale_every: int = 10, seed: int = 0,
+                 rotated: bool = False, rotate_prob: float | None = None,
+                 rescale_every: int = 10, seed: int = 0,
                  device_put: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
@@ -205,6 +206,12 @@ class TrainLoader:
         self.num_threads = num_threads
         self.augment = augment
         self.rotated = rotated
+        # arbitrary-rotation augmentation is the key symmetry for
+        # overhead-fisheye rotated boxes (SURVEY.md §2.11): default it
+        # ON for rotated datasets, OFF for axis-aligned ones (where the
+        # enclosing-box approximation would degrade labels).
+        self.rotate_prob = (0.5 if rotated else 0.0) \
+            if rotate_prob is None else float(rotate_prob)
         self.rescale_every = rescale_every
         self.seed = seed
         self.device_put = device_put
@@ -217,7 +224,8 @@ class TrainLoader:
             rng = np.random.RandomState(
                 (self.seed * 9_999_991 + epoch * 1_000_003 + index) % (2 ** 31))
             image, boxes = random_augment(image, boxes, rng,
-                                          rotated=self.rotated)
+                                          rotated=self.rotated,
+                                          rotate_prob=self.rotate_prob)
         canvas, info = letterbox_np(image, size)
         boxes = letterbox_labels(boxes, info.ratio, info.pad_x, info.pad_y)
         return canvas, boxes, item["classes"]

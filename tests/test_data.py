@@ -147,6 +147,35 @@ def test_train_loader_batches_and_determinism(coco_dir):
         assert (gb[gv][:, 0] >= 0).all() and (gb[gv][:, 0] <= size).all()
 
 
+def test_train_loader_rotated_applies_rotation(coco_dir):
+    """Rotated loaders default rotate_prob=0.5 — the fisheye rotation
+    augmentation must actually fire in the train path (VERDICT r1 #4)."""
+    gt = json.load(open(coco_dir / "ann.json"))
+    for ann in gt["annotations"]:
+        bb = ann["bbox"]
+        ann["bbox"] = [bb[0] + bb[2] / 2, bb[1] + bb[3] / 2, bb[2], bb[3], 0.0]
+    ds = CocoDataset(gt, str(coco_dir), rotated=True)
+
+    def thetas(prob):
+        loader = TrainLoader(ds, batch_size=2, sizes=[64], max_gt=10,
+                             num_threads=2, rotated=True, rotate_prob=prob,
+                             seed=3, device_put=False)
+        out = []
+        for _, gb, _, gv, _ in loader.epoch(0):
+            out.extend(gb[gv][:, 4].tolist())
+        return np.asarray(out)
+
+    assert TrainLoader(ds, batch_size=2, sizes=[64], rotated=True,
+                       device_put=False).rotate_prob == 0.5
+    assert TrainLoader(ds, batch_size=2, sizes=[64], rotated=False,
+                       device_put=False).rotate_prob == 0.0
+    th_off = thetas(0.0)
+    th_on = thetas(1.0)
+    # all GT start at θ=0: rotation must move some θ away from 0
+    assert np.allclose(th_off, 0.0)
+    assert (np.abs(th_on) > 1e-3).any()
+
+
 def test_letterbox_labels_math():
     boxes = np.array([[100.0, 50, 40, 20]], np.float32)
     out = letterbox_labels(boxes, ratio=0.5, pad_x=10, pad_y=20)

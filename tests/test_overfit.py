@@ -40,3 +40,36 @@ def test_overfit_tiny_batch():
     last = float(m["total"])
     assert np.isfinite(last)
     assert last < first / 5, (first, last)
+
+
+def test_overfit_rotated_batch():
+    """RAPiD loss path trains: periodic-angle + rotated targets learn.
+
+    Locks the rotated training stack (VERDICT r1 item 5) — the loss,
+    assignment, and gradient flow through the angle channel.
+    """
+    rng = np.random.RandomState(1)
+    B, S = 2, 64
+    images = jnp.asarray(rng.randint(0, 255, (B, S, S, 3), np.uint8))
+    # cxcywhθ, θ in radians — off-axis boxes so the angle loss is live
+    gt_boxes = jnp.asarray(
+        [[[24, 24, 18, 34, 0.6], [44, 40, 14, 30, -1.1]]] * B, jnp.float32)
+    gt_classes = jnp.zeros((B, 2), jnp.int32)
+    gt_valid = jnp.ones((B, 2), bool)
+
+    model = get_model("rapid", input_size=S, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    vel = sgd_init(params)
+    step = make_train_step(model, input_size=S)
+
+    first = None
+    for it in range(40):
+        lr = burn_in_lr(it, base_lr=2e-3, burn_in=15)
+        params, vel, m = step(params, vel, images, gt_boxes, gt_classes,
+                              gt_valid, lr)
+        if it == 0:
+            first = float(m["total"])
+    last = float(m["total"])
+    assert np.isfinite(last)
+    assert last < first / 5, (first, last)
+    assert float(m["angle"]) < 0.3, m

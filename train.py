@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--sizes", type=int, nargs="*", default=None,
                     help="multi-scale bucket list (default: model size ±)")
     ap.add_argument("--rescale-every", type=int, default=10)
+    ap.add_argument("--rotate-prob", type=float, default=None,
+                    help="arbitrary-rotation augmentation probability "
+                         "(default: 0.5 for rotated models, 0 otherwise)")
     ap.add_argument("--max-gt", type=int, default=100)
     ap.add_argument("--num-threads", type=int, default=4)
     ap.add_argument("--ckpt-dir", default="weights")
@@ -102,7 +105,8 @@ def main() -> None:
 
     loader = TrainLoader(ds, batch_size=args.batch_size, sizes=sizes,
                          max_gt=args.max_gt, num_threads=args.num_threads,
-                         rotated=rotated, rescale_every=args.rescale_every,
+                         rotated=rotated, rotate_prob=args.rotate_prob,
+                         rescale_every=args.rescale_every,
                          seed=args.seed, device_put=mesh is None)
     os.makedirs(args.ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(args.ckpt_dir, f"{cfg.name}_metrics.jsonl")
