@@ -3,7 +3,6 @@ a synthetic COCO dataset (SURVEY.md §4.4)."""
 
 import json
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -37,11 +36,6 @@ def coco_dir(tmp_path_factory):
     with open(root / "ann.json", "w") as fh:
         json.dump(gt, fh)
     return root
-
-
-def run(args, timeout=480):
-    return subprocess.run([sys.executable, *args], cwd=REPO, timeout=timeout,
-                          capture_output=True, text=True)
 
 
 def run_main(script: str, args: list[str], monkeypatch, capsys):
@@ -78,14 +72,14 @@ def test_train_and_resume(coco_dir, tmp_path, monkeypatch, capsys):
     assert os.path.exists(os.path.join(ckpt_dir, "yolov3_5.npz"))
 
 
-def test_evaluate_cli(coco_dir, tmp_path):
+def test_evaluate_cli(coco_dir, tmp_path, monkeypatch, capsys):
     out = str(tmp_path / "results.json")
-    r = run(["evaluate.py", "--model", "yolov3", "--ann",
-             str(coco_dir / "ann.json"), "--img-dir", str(coco_dir),
-             "--input-size", "64", "--batch-size", "4", "--conf-thres", "0.3",
-             "--max-images", "4", "--float32", "--out", out])
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "'AP'" in r.stdout or '"AP"' in r.stdout.replace("'", '"')
+    stdout = run_main("evaluate", [
+        "--model", "yolov3", "--ann", str(coco_dir / "ann.json"),
+        "--img-dir", str(coco_dir), "--input-size", "64", "--batch-size", "4",
+        "--conf-thres", "0.3", "--max-images", "4", "--float32",
+        "--out", out], monkeypatch, capsys)
+    assert "'AP'" in stdout or '"AP"' in stdout.replace("'", '"')
     rows = json.load(open(out))
     assert isinstance(rows, list)
     for row in rows[:5]:
