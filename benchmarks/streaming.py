@@ -95,13 +95,33 @@ def main() -> None:
         device_dt = time.perf_counter() - t0
         device_ips = iters * args.batch / device_dt
 
-        # serial: decode batch, then infer, alternating
+        # serial: decode batch, then infer, STRICTLY alternating — no
+        # thread pool, so no background decode overlaps the device call
+        # (a StreamingPipeline here would keep decoding during
+        # detect_prepared and overstate the serial rate). Uses the same
+        # decoder the pipeline uses (native C++ when built, PIL else)
+        # so the comparison isolates OVERLAP, not decoder choice.
+        from mydetection_tpu import native as native_mod
+        from PIL import Image
+
+        def decode_one(p):
+            if native_mod.available():
+                try:
+                    return native_mod.decode_letterbox_file(p, args.input_size)
+                except (ValueError, RuntimeError):
+                    pass
+            img = np.asarray(Image.open(p).convert("RGB"))
+            return letterbox_np(img, args.input_size)
+
         t0 = time.perf_counter()
-        pipe = StreamingPipeline(paths, input_size=args.input_size,
-                                 batch_size=args.batch, num_threads=args.threads,
-                                 device_put=False)
-        for canv, infos_b, _ in pipe:
-            det.detect_prepared(np.asarray(canv), infos_b, conf_thres=0.3)
+        for start in range(0, len(paths), args.batch):
+            chunk = paths[start:start + args.batch]
+            decoded = [decode_one(p) for p in chunk]
+            canvases = [c for c, _ in decoded]
+            infos_b = [i for _, i in decoded]
+            while len(canvases) < args.batch:  # static batch shape
+                canvases.append(canvases[-1])
+            det.detect_prepared(np.stack(canvases), infos_b, conf_thres=0.3)
         serial_dt = time.perf_counter() - t0
         serial_ips = len(paths) / serial_dt
 

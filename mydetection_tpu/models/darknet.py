@@ -53,11 +53,62 @@ def _res_block(p: Params, x: jnp.ndarray, *, train: bool, compute_dtype):
     return x + y, stats
 
 
+def _use_scan(scan_blocks: bool | None) -> bool:
+    """Resolve the block-scan policy. None = auto: scan on TPU only.
+
+    lax.scan over stacked block params compiles the block body once per
+    stage (fast TPU cold-start); on XLA:CPU the scan runtime + scan
+    backward are SLOWER than the unrolled graph (measured: train step
+    compile 34 s vs 21 s, execution 1.4x slower), so CPU unrolls.
+    """
+    if scan_blocks is None:
+        return jax.default_backend() == "tpu"
+    return scan_blocks
+
+
+def _res_stage(stage: Params, y: jnp.ndarray, nblocks: int, *,
+               train: bool, compute_dtype, scan_blocks: bool | None):
+    """Run a stage's residual blocks, scanned or unrolled.
+
+    Scanned: the blocks of a stage are structurally identical, so the
+    per-block param dicts (kept as `res0..resN` in the tree —
+    checkpoint / importer layout unchanged) are stacked into (n, ...)
+    leaves and the block body compiles ONCE per stage instead of once
+    per block — identical math, much smaller XLA graph.
+    """
+    blocks = [stage[f"res{bi}"] for bi in range(nblocks)]
+    if nblocks == 1 or not _use_scan(scan_blocks):
+        stats: Params = {}
+        for bi in range(nblocks):
+            y, s = _res_block(blocks[bi], y, train=train,
+                              compute_dtype=compute_dtype)
+            if train:
+                stats[f"res{bi}"] = s
+        return y, (stats if train else None)
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *blocks)
+
+    def body(carry, p):
+        out, stats = _res_block(p, carry, train=train,
+                                compute_dtype=compute_dtype)
+        return out, stats
+
+    y, stats_stacked = jax.lax.scan(body, y, stacked)
+    stats = None
+    if train:
+        stats = {
+            f"res{bi}": jax.tree_util.tree_map(lambda s, bi=bi: s[bi],
+                                               stats_stacked)
+            for bi in range(nblocks)
+        }
+    return y, stats
+
+
 def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
-          compute_dtype=None):
+          compute_dtype=None, scan_blocks: bool | None = None):
     """x: NHWC float image batch → (C3, C4, C5), plus BN-update tree.
 
     Returns ((c3, c4, c5), updates) — updates is None in eval mode.
+    `scan_blocks`: None (auto: scan on TPU) / True / False.
     """
     updates: Params = {}
     y, s = conv_bn_leaky(params["stem"], x, train=train, compute_dtype=compute_dtype)
@@ -71,12 +122,11 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
                              compute_dtype=compute_dtype)
         if train:
             stage_updates["down"] = {"bn": s}
-        for bi in range(nblocks):
-            y, s = _res_block(stage[f"res{bi}"], y, train=train,
-                              compute_dtype=compute_dtype)
-            if train:
-                stage_updates[f"res{bi}"] = s
+        y, stats = _res_stage(stage, y, nblocks, train=train,
+                              compute_dtype=compute_dtype,
+                              scan_blocks=scan_blocks)
         if train:
+            stage_updates.update(stats)
             updates[f"stage{si}"] = stage_updates
         if si >= 2:  # stages 2/3/4 emit C3/C4/C5 (strides 8/16/32)
             feats.append(y)

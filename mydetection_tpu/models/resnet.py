@@ -95,8 +95,14 @@ def _bottleneck(p: Params, x, *, stride: int, train, compute_dtype):
 
 
 def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
-          train: bool = False, compute_dtype=None):
-    """NHWC float batch → (C3, C4, C5), plus BN-update tree."""
+          train: bool = False, compute_dtype=None,
+          scan_blocks: bool | None = None):
+    """NHWC float batch → (C3, C4, C5), plus BN-update tree.
+
+    `scan_blocks`: None (auto: scan on TPU — see darknet._use_scan for
+    the measured CPU regression) / True / False.
+    """
+    from mydetection_tpu.models.darknet import _use_scan
     updates: Params = {}
     y, s = _conv_bn(params["stem"], x, stride=2, train=train,
                     compute_dtype=compute_dtype)
@@ -109,12 +115,38 @@ def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
     for si, nblocks in enumerate(STAGE_BLOCKS[depth]):
         stage = params[f"stage{si}"]
         su: Params = {}
-        for bi in range(nblocks):
-            stride = 2 if (bi == 0 and si > 0) else 1
-            y, s = _bottleneck(stage[f"block{bi}"], y, stride=stride,
-                               train=train, compute_dtype=compute_dtype)
+        # block 0 carries the projection shortcut + stage stride and is
+        # structurally unique — unrolled; blocks 1..n-1 are identical
+        # (c_out→c_out, stride 1) so their params (still `block1..N` in
+        # the tree — torchvision-import layout unchanged) are STACKED
+        # and run under one lax.scan: the bottleneck body compiles once
+        # per stage instead of once per block (ResNet-101's 23-block
+        # stage3 compiles the same graph as ResNet-50's 6-block one).
+        y, s = _bottleneck(stage["block0"], y,
+                           stride=2 if si > 0 else 1,
+                           train=train, compute_dtype=compute_dtype)
+        if train:
+            su["block0"] = s
+        if nblocks > 1 and _use_scan(scan_blocks):
+            blocks = [stage[f"block{bi}"] for bi in range(1, nblocks)]
+            stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *blocks)
+
+            def body(carry, p):
+                out, stats = _bottleneck(p, carry, stride=1, train=train,
+                                         compute_dtype=compute_dtype)
+                return out, stats
+
+            y, stats_stacked = jax.lax.scan(body, y, stacked)
             if train:
-                su[f"block{bi}"] = s
+                for bi in range(1, nblocks):
+                    su[f"block{bi}"] = jax.tree_util.tree_map(
+                        lambda s, i=bi - 1: s[i], stats_stacked)
+        else:
+            for bi in range(1, nblocks):
+                y, s = _bottleneck(stage[f"block{bi}"], y, stride=1,
+                                   train=train, compute_dtype=compute_dtype)
+                if train:
+                    su[f"block{bi}"] = s
         if train:
             updates[f"stage{si}"] = su
         if si >= 1:  # stages 1/2/3 emit C3/C4/C5

@@ -82,6 +82,45 @@ def test_random_vs_rasterization(seed):
     assert got == pytest.approx(expect, abs=0.02)
 
 
+def test_lb_area_matches_candidate_formulation():
+    """The production Liang–Barsky line-integral area must agree with
+    the 24-candidate polygon construction (the slower formulation kept
+    as an oracle) across random boxes AND the boundary-degenerate cases
+    the line-integral handles via the shared-segment ½ weight."""
+    from mydetection_tpu.ops.rotated import (
+        rotated_intersection_area,
+        rotated_intersection_area_lb,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    def sample(off):
+        return np.stack([rng.uniform(0, 100, n) + off,
+                         rng.uniform(0, 100, n) + off,
+                         rng.uniform(5, 60, n), rng.uniform(5, 60, n),
+                         rng.uniform(-np.pi / 2, np.pi / 2, n)],
+                        -1).astype(np.float32)
+    for off in (0.0, 900.0):  # small and image-scale (1024 px) coords
+        a, b = sample(off), sample(off)
+        cand = np.asarray(rotated_intersection_area(jnp.asarray(a), jnp.asarray(b)))
+        lb = np.asarray(rotated_intersection_area_lb(jnp.asarray(a), jnp.asarray(b)))
+        min_area = np.minimum(a[:, 2] * a[:, 3], b[:, 2] * b[:, 3])
+        np.testing.assert_array_less(np.abs(cand - lb) / min_area, 0.005)
+
+    cases = [  # (A, B, exact intersection area)
+        ([10, 10, 8, 4, 0.3], [10, 10, 8, 4, 0.3], 32.0),        # identical
+        ([0, 0, 2, 2, 0.0], [2, 0, 2, 2, 0.0], 0.0),             # touching
+        ([1, 0.5, 2, 1, 0.0], [2, 0.5, 2, 1, 0.0], 1.0),         # shared edge
+        ([0, 0, 2, 2, np.pi / 4], [0, 0, 2, 2, 0.0], 8 * (np.sqrt(2) - 1)),
+        ([10, 10, 20, 20, 0.0], [10, 10, 4, 4, 0.5], 16.0),      # contained
+        ([0, 0, 10, 2, 0.0], [0, 0, 2, 10, 0.0], 4.0),           # cross
+    ]
+    for aa, bb, want in cases:
+        got = float(rotated_intersection_area_lb(
+            jnp.asarray(aa, jnp.float32), jnp.asarray(bb, jnp.float32)))
+        assert got == pytest.approx(want, abs=5e-3), (aa, bb, got, want)
+
+
 def test_pairwise_shape_and_symmetry(rng):
     a = np.column_stack([rng.uniform(-5, 5, (8, 2)), rng.uniform(5, 15, (8, 2)),
                          rng.uniform(-1.5, 1.5, 8)]).astype(np.float32)
