@@ -1,14 +1,17 @@
 # Convenience targets; everything also works without make.
 
-.PHONY: native test test-fast bench stream dryrun clean
+.PHONY: native test test-all test-fast bench stream dryrun clean
 
 native:
 	g++ -O3 -march=native -funroll-loops -shared -fPIC \
 	    -o mydetection_tpu/native/libimagepipe.so \
 	    mydetection_tpu/native/imagepipe.cpp -ljpeg
 
-test:
+test:  # default: excludes @slow (see pyproject addopts)
 	python -m pytest tests/ -q
+
+test-all:  # everything, including @slow overfit + sharding subprocess
+	python -m pytest tests/ -q -m "slow or not slow"
 
 test-fast:
 	python -m pytest tests/ -q --ignore=tests/test_scripts.py \

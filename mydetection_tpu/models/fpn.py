@@ -2,9 +2,15 @@
 
 Reference parity: `models/fpns/` in duanzhiihao/myDetection [recalled;
 SURVEY.md §2.4] — lateral 1x1 convs on C3–C5, top-down nearest-neighbor
-upsample + sum, 3x3 smoothing convs, plus RetinaNet's extra P6 (3x3
-stride-2 on C5) and P7 (ReLU + 3x3 stride-2 on P6) levels
-(arXiv 1708.02002 §4).
+upsample + sum, 3x3 smoothing convs, plus extra P6 (3x3 stride-2) and
+P7 (ReLU + 3x3 stride-2 on P6) levels.
+
+P6 input: the RetinaNet PAPER (arXiv 1708.02002 §4) feeds P6 from C5
+(2048-ch); torchvision's `retinanet_resnet50_fpn` / `fcos_resnet50_fpn`
+feed it from the smoothed P5 (`LastLevelP6P7(256, 256)` → use_P5).
+We follow TORCHVISION because its checkpoints are the weight-import
+parity target (weight_import._import_fpn maps `extra_blocks.p6` whose
+weight is (256, 256, 3, 3) — the C5 variant could not accept it).
 
 All convs carry bias (no BN in FPN, matching the standard design).
 """
@@ -35,7 +41,7 @@ def init(rng: jax.Array, c3: int = 512, c4: int = 1024, c5: int = 2048,
         "smooth3": conv_init(keys(), 3, channels, channels, bias=True),
         "smooth4": conv_init(keys(), 3, channels, channels, bias=True),
         "smooth5": conv_init(keys(), 3, channels, channels, bias=True),
-        "p6": conv_init(keys(), 3, c5, channels, bias=True),
+        "p6": conv_init(keys(), 3, channels, channels, bias=True),
         "p7": conv_init(keys(), 3, channels, channels, bias=True),
     }
 
@@ -54,7 +60,7 @@ def apply(params: Params, feats, *, compute_dtype=None):
     p3 = _conv(params["smooth3"], l3, compute_dtype=compute_dtype)
     p4 = _conv(params["smooth4"], l4, compute_dtype=compute_dtype)
     p5 = _conv(params["smooth5"], l5, compute_dtype=compute_dtype)
-    p6 = _conv(params["p6"], c5, stride=2, compute_dtype=compute_dtype)
+    p6 = _conv(params["p6"], p5, stride=2, compute_dtype=compute_dtype)
     p7 = _conv(params["p7"], jnp.maximum(p6, 0.0), stride=2,
                compute_dtype=compute_dtype)
     return [p3, p4, p5, p6, p7]

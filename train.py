@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--val-max-images", type=int, default=500)
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all local devices")
+    ap.add_argument("--float32", action="store_true",
+                    help="float32 conv compute (debug/CPU; default bf16)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -70,8 +72,12 @@ def main() -> None:
 
     rotated = args.model == "rapid"
     ds = CocoDataset(args.ann, args.img_dir, rotated=rotated, skip_empty=True)
+    overrides = {}
+    if args.float32:
+        overrides["compute_dtype"] = jnp.float32
     model = get_model(args.model,
-                      num_classes=max(ds.num_classes, 1) if not rotated else 1)
+                      num_classes=max(ds.num_classes, 1) if not rotated else 1,
+                      **overrides)
     cfg = model.config
     sizes = args.sizes or sorted({max(cfg.input_size - 96, 128),
                                   cfg.input_size,
