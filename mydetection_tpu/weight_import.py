@@ -240,8 +240,13 @@ def _get(state: dict, *candidates: str) -> np.ndarray:
 
 def _put_conv(node: Params, state: dict, *weight_keys: str) -> None:
     node["w"] = import_torch_conv(_get(state, *weight_keys))
-    node["b"] = _get(state, *(k.replace(".weight", ".bias")
-                              for k in weight_keys))
+    try:
+        node["b"] = _get(state, *(k.replace(".weight", ".bias")
+                                  for k in weight_keys))
+    except KeyError:
+        # bias-less torch conv (e.g. FCOS tower Conv2dNormActivation
+        # with GroupNorm sets bias=False): our conv keeps a zero bias.
+        node["b"] = np.zeros(node["w"].shape[-1], np.float32)
 
 
 def _import_fpn(fpn_params: Params, state: dict,

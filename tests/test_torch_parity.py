@@ -170,15 +170,10 @@ def test_resnet50_matches_torch_trunk():
 # FPN vs torchvision semantics (P6 from smoothed P5 — LastLevelP6P7 use_P5)
 # ---------------------------------------------------------------------------
 
-def test_fpn_matches_torchvision_semantics():
+def _fpn_state(rng):
     from mydetection_tpu.models import fpn
-    from mydetection_tpu.weight_import import _import_fpn
 
-    rng = _seed_all(2)
     ch = fpn.FPN_CHANNELS
-    c3 = rng.randn(1, 16, 16, 512).astype(np.float32)
-    c4 = rng.randn(1, 8, 8, 1024).astype(np.float32)
-    c5 = rng.randn(1, 4, 4, 2048).astype(np.float32)
 
     def w(c_out, c_in, k):
         return rng.randn(c_out, c_in, k, k).astype(np.float32) * 0.05
@@ -195,18 +190,17 @@ def test_fpn_matches_torchvision_semantics():
     state["backbone.fpn.extra_blocks.p6.bias"] = b(ch)
     state["backbone.fpn.extra_blocks.p7.weight"] = w(ch, ch, 3)
     state["backbone.fpn.extra_blocks.p7.bias"] = b(ch)
+    return state
 
-    # torch reference: functional mirror of torchvision FPN + LastLevelP6P7
-    def tconv(x, key, stride=1, pad=None):
+
+def _torch_fpn(state, tc3, tc4, tc5):
+    """Functional mirror of torchvision FPN + LastLevelP6P7(use_P5)."""
+    def tconv(x, key, stride=1):
         wt = torch.tensor(state[key + ".weight"])
         bt = torch.tensor(state[key + ".bias"])
-        if pad is None:
-            pad = (wt.shape[-1] - 1) // 2
-        return F.conv2d(x, wt, bt, stride=stride, padding=pad)
+        return F.conv2d(x, wt, bt, stride=stride,
+                        padding=(wt.shape[-1] - 1) // 2)
 
-    tc3 = torch.tensor(c3).permute(0, 3, 1, 2)
-    tc4 = torch.tensor(c4).permute(0, 3, 1, 2)
-    tc5 = torch.tensor(c5).permute(0, 3, 1, 2)
     with torch.no_grad():
         l5 = tconv(tc5, "backbone.fpn.inner_blocks.2.0")
         l4 = tconv(tc4, "backbone.fpn.inner_blocks.1.0") + \
@@ -218,7 +212,24 @@ def test_fpn_matches_torchvision_semantics():
         p5 = tconv(l5, "backbone.fpn.layer_blocks.2.0")
         p6 = tconv(p5, "backbone.fpn.extra_blocks.p6", stride=2)
         p7 = tconv(F.relu(p6), "backbone.fpn.extra_blocks.p7", stride=2)
-    ref = [t.permute(0, 2, 3, 1).numpy() for t in (p3, p4, p5, p6, p7)]
+    return [p3, p4, p5, p6, p7]
+
+
+def test_fpn_matches_torchvision_semantics():
+    from mydetection_tpu.models import fpn
+    from mydetection_tpu.weight_import import _import_fpn
+
+    rng = _seed_all(2)
+    c3 = rng.randn(1, 16, 16, 512).astype(np.float32)
+    c4 = rng.randn(1, 8, 8, 1024).astype(np.float32)
+    c5 = rng.randn(1, 4, 4, 2048).astype(np.float32)
+    state = _fpn_state(rng)
+
+    tc3 = torch.tensor(c3).permute(0, 3, 1, 2)
+    tc4 = torch.tensor(c4).permute(0, 3, 1, 2)
+    tc5 = torch.tensor(c5).permute(0, 3, 1, 2)
+    ref = [t.permute(0, 2, 3, 1).numpy()
+           for t in _torch_fpn(state, tc3, tc4, tc5)]
 
     params = _import_fpn(fpn.init(jax.random.PRNGKey(0)), state)
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -226,3 +237,169 @@ def test_fpn_matches_torchvision_semantics():
     for g, r, name in zip(got, ref, ("P3", "P4", "P5", "P6", "P7")):
         assert g.shape == r.shape, (name, g.shape, r.shape)
         _rel_close(np.asarray(g), r, 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# FULL-model import parity: trunk + FPN + head, torchvision key names
+# ---------------------------------------------------------------------------
+
+def _head_state(rng, *, fcos: bool, num_classes: int = 7):
+    """torchvision retinanet/fcos head entries (Conv2dNormActivation names)."""
+    ch = 256
+
+    def w(c_out, c_in, k=3):
+        return rng.randn(c_out, c_in, k, k).astype(np.float32) * 0.05
+    def b(c_out):
+        return rng.randn(c_out).astype(np.float32) * 0.1
+
+    state = {}
+    for tv in ("classification_head", "regression_head"):
+        for i in range(4):
+            state[f"head.{tv}.conv.{i}.0.weight"] = w(ch, ch)
+            if fcos:  # GroupNorm at .1, conv bias=False
+                state[f"head.{tv}.conv.{i}.1.weight"] = \
+                    rng.uniform(0.5, 1.5, ch).astype(np.float32)
+                state[f"head.{tv}.conv.{i}.1.bias"] = b(ch)
+            else:
+                state[f"head.{tv}.conv.{i}.0.bias"] = b(ch)
+    a = 1 if fcos else 9
+    state["head.classification_head.cls_logits.weight"] = w(a * num_classes, ch)
+    state["head.classification_head.cls_logits.bias"] = b(a * num_classes)
+    state["head.regression_head.bbox_reg.weight"] = w(a * 4, ch)
+    state["head.regression_head.bbox_reg.bias"] = b(a * 4)
+    if fcos:
+        state["head.regression_head.bbox_ctrness.weight"] = w(1, ch)
+        state["head.regression_head.bbox_ctrness.bias"] = b(1)
+    return state
+
+
+def _torch_group_norm(x, weight, bias, groups=32):
+    return F.group_norm(x, groups, torch.tensor(weight), torch.tensor(bias),
+                        eps=1e-5)
+
+
+def _torch_subnet(state, tv, x, *, fcos: bool):
+    with torch.no_grad():
+        for i in range(4):
+            wt = torch.tensor(state[f"head.{tv}.conv.{i}.0.weight"])
+            if fcos:
+                x = F.conv2d(x, wt, None, padding=1)
+                x = _torch_group_norm(x, state[f"head.{tv}.conv.{i}.1.weight"],
+                                      state[f"head.{tv}.conv.{i}.1.bias"])
+            else:
+                bt = torch.tensor(state[f"head.{tv}.conv.{i}.0.bias"])
+                x = F.conv2d(x, wt, bt, padding=1)
+            x = F.relu(x)
+    return x
+
+
+def _torch_final(state, key, x):
+    with torch.no_grad():
+        return F.conv2d(x, torch.tensor(state[key + ".weight"]),
+                        torch.tensor(state[key + ".bias"]), padding=1)
+
+
+def _full_state(seed, *, fcos: bool, num_classes: int):
+    trunk, rng = _randomized_trunk(seed)
+    state = {f"backbone.body.{k}": v.detach().numpy()
+             for k, v in trunk.state_dict().items()}
+    state.update(_fpn_state(rng))
+    state.update(_head_state(rng, fcos=fcos, num_classes=num_classes))
+    return trunk, state, rng
+
+
+def test_retinanet_full_import_matches_torch():
+    """Whole-chain: torchvision-named state dict → import_retinanet_state_dict
+    → backbone+FPN+subnets; activations must match the torch mirror,
+    INCLUDING the (B, HWA, C) anchor-major flatten order."""
+    from mydetection_tpu.models import fpn as fpn_mod
+    from mydetection_tpu.models import resnet, retinanet
+    from mydetection_tpu.weight_import import import_retinanet_state_dict
+
+    nc = 7
+    trunk, state, rng = _full_state(3, fcos=False, num_classes=nc)
+    x = rng.randn(1, 128, 128, 3).astype(np.float32)
+
+    params = {
+        "backbone": resnet.init(jax.random.PRNGKey(0), depth=50),
+        "fpn": fpn_mod.init(jax.random.PRNGKey(1)),
+        "head": retinanet.init(jax.random.PRNGKey(2), nc),
+    }
+    params = import_retinanet_state_dict(params, state)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def fwd(p, v):
+        feats, _ = resnet.apply(p["backbone"], v, depth=50)
+        pyr = fpn_mod.apply(p["fpn"], feats)
+        return retinanet.apply(p["head"], pyr, num_classes=nc)
+
+    cls_logits, box_deltas = jax.jit(fwd)(params, jnp.asarray(x))
+
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        tc3, tc4, tc5 = trunk(tx)
+    pyr_t = _torch_fpn(state, tc3, tc4, tc5)
+    ref_cls, ref_box = [], []
+    for p in pyr_t:
+        cl = _torch_final(state, "head.classification_head.cls_logits",
+                          _torch_subnet(state, "classification_head", p,
+                                        fcos=False))
+        bx = _torch_final(state, "head.regression_head.bbox_reg",
+                          _torch_subnet(state, "regression_head", p,
+                                        fcos=False))
+        B, _, H, W = cl.shape
+        ref_cls.append(cl.permute(0, 2, 3, 1).reshape(B, H * W * 9, nc).numpy())
+        ref_box.append(bx.permute(0, 2, 3, 1).reshape(B, H * W * 9, 4).numpy())
+    _rel_close(np.asarray(cls_logits), np.concatenate(ref_cls, 1), 3e-4)
+    _rel_close(np.asarray(box_deltas), np.concatenate(ref_box, 1), 3e-4)
+
+
+def test_fcos_full_import_matches_torch():
+    """Whole-chain FCOS: GroupNorm towers (bias-less convs — torchvision
+    Conv2dNormActivation) + centerness on the regression tower."""
+    from mydetection_tpu.models import fcos as fcos_mod
+    from mydetection_tpu.models import fpn as fpn_mod
+    from mydetection_tpu.models import resnet
+    from mydetection_tpu.weight_import import import_fcos_state_dict
+
+    nc = 7
+    trunk, state, rng = _full_state(4, fcos=True, num_classes=nc)
+    x = rng.randn(1, 128, 128, 3).astype(np.float32)
+
+    params = {
+        "backbone": resnet.init(jax.random.PRNGKey(0), depth=50),
+        "fpn": fpn_mod.init(jax.random.PRNGKey(1)),
+        "head": fcos_mod.init(jax.random.PRNGKey(2), nc),
+    }
+    params = import_fcos_state_dict(params, state)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def fwd(p, v):
+        feats, _ = resnet.apply(p["backbone"], v, depth=50)
+        pyr = fpn_mod.apply(p["fpn"], feats)
+        return fcos_mod.apply(p["head"], pyr, num_classes=nc)
+
+    cls_logits, ltrb, ctr_logits = jax.jit(fwd)(params, jnp.asarray(x))
+
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        tc3, tc4, tc5 = trunk(tx)
+    pyr_t = _torch_fpn(state, tc3, tc4, tc5)
+    ref_cls, ref_box, ref_ctr = [], [], []
+    for li, p in enumerate(pyr_t):
+        ct = _torch_subnet(state, "classification_head", p, fcos=True)
+        bt = _torch_subnet(state, "regression_head", p, fcos=True)
+        cl = _torch_final(state, "head.classification_head.cls_logits", ct)
+        bx = _torch_final(state, "head.regression_head.bbox_reg", bt)
+        cn = _torch_final(state, "head.regression_head.bbox_ctrness", bt)
+        B, _, H, W = cl.shape
+        ref_cls.append(cl.permute(0, 2, 3, 1).reshape(B, H * W, nc).numpy())
+        # ours decodes ltrb in-apply: exp(raw * scale(=1 at init)) * stride
+        raw = bx.permute(0, 2, 3, 1).reshape(B, H * W, 4).numpy()
+        ref_box.append(np.exp(np.clip(raw, -10, 10)) * fcos_mod.STRIDES[li])
+        ref_ctr.append(cn.permute(0, 2, 3, 1).reshape(B, H * W).numpy())
+    _rel_close(np.asarray(cls_logits), np.concatenate(ref_cls, 1), 3e-4)
+    _rel_close(np.asarray(ctr_logits), np.concatenate(ref_ctr, 1), 3e-4)
+    got_box = np.asarray(ltrb)
+    want_box = np.concatenate(ref_box, 1)
+    np.testing.assert_allclose(got_box, want_box, rtol=2e-3)
