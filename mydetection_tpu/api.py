@@ -114,7 +114,7 @@ class Detector:
         if params is not None:
             self.params = params
         elif weights_path is not None:
-            self.params = ckpt_lib.load_params(weights_path)
+            self.params = self._load_weights(weights_path, rng_seed)
         else:
             self.params = self.model.init(jax.random.PRNGKey(rng_seed))
         self._jitted: dict[tuple, callable] = {}
@@ -127,6 +127,37 @@ class Detector:
 
             self.mesh = make_mesh()
             self.params = replicate(self.params, self.mesh)
+
+    def _load_weights(self, path: str, rng_seed: int):
+        """Load weights by format, mirroring what a reference user has:
+
+          *.npz            — our native checkpoint (params or full ckpt)
+          *.weights        — official darknet binary (yolov3 family)
+          *.pt / *.pth     — torch checkpoint; mapped via the model's
+                             torchvision importer (retinanet/fcos) or
+                             rejected with the available options.
+        """
+        lower = path.lower()
+        if lower.endswith(".weights"):
+            from mydetection_tpu.weight_import import load_darknet_weights
+
+            init = self.model.init(jax.random.PRNGKey(rng_seed))
+            return load_darknet_weights(init, path)
+        if lower.endswith((".pt", ".pth")):
+            from mydetection_tpu import weight_import as wi
+
+            state = wi.load_torch_checkpoint(path)
+            init = self.model.init(jax.random.PRNGKey(rng_seed))
+            name = self.cfg.name
+            if name.startswith("retinanet"):
+                return wi.import_retinanet_state_dict(init, state)
+            if name.startswith("fcos"):
+                return wi.import_fcos_state_dict(init, state)
+            raise ValueError(
+                f"no torch-checkpoint importer for model '{name}'; use "
+                "weight_import.import_state_dict with an explicit name "
+                "mapping, or convert to .npz via checkpoint.save_checkpoint")
+        return ckpt_lib.load_params(path)
 
     def _place_batch(self, canvases):
         """Device placement for an incoming uint8 batch. When

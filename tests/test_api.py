@@ -1,5 +1,8 @@
 """Detector API integration tests (SURVEY.md §4.4)."""
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -7,6 +10,8 @@ from PIL import Image
 
 from mydetection_tpu import Detector, get_model, list_models
 from mydetection_tpu.checkpoint import load_params, save_checkpoint
+
+REPO_TESTS = os.path.dirname(os.path.abspath(__file__))
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +74,48 @@ def test_weights_roundtrip(tmp_path, detector):
     a = detector.detect_one(np_img=img, conf_thres=0.3)
     b = det2.detect_one(np_img=img, conf_thres=0.3)
     np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
+
+
+def test_weights_path_format_dispatch(tmp_path, detector):
+    """Detector(weights_path=...) accepts the formats a reference user
+    has on disk: .npz (ours), .weights (darknet binary), .pt (torch
+    state dict via the model's torchvision importer)."""
+    from mydetection_tpu.weight_import import jax_to_numpy, save_darknet_weights
+
+    wpath = str(tmp_path / "official.weights")
+    save_darknet_weights(detector.params, wpath)
+    det_w = Detector(model_name="yolov3", input_size=128,
+                     compute_dtype=jnp.float32, use_pallas=False,
+                     weights_path=wpath)
+    for a, b in zip(jax.tree_util.tree_leaves(jax_to_numpy(detector.params)),
+                    jax.tree_util.tree_leaves(det_w.params)):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    torch = pytest.importorskip("torch")
+    det_fcos = Detector(model_name="fcos", input_size=128, num_classes=3,
+                        compute_dtype=jnp.float32, use_pallas=False)
+    # build a torchvision-named state dict from the parity-test helpers
+    import sys
+    sys.path.insert(0, str(REPO_TESTS))
+    from test_torch_parity import _full_state
+    _, state, _ = _full_state(7, fcos=True, num_classes=3)
+    pt_path = str(tmp_path / "fcos.pt")
+    torch.save({"model": {k: torch.tensor(v) for k, v in state.items()}},
+               pt_path)
+    det_pt = Detector(model_name="fcos", input_size=128, num_classes=3,
+                      compute_dtype=jnp.float32, use_pallas=False,
+                      weights_path=pt_path)
+    got = np.asarray(
+        jax.tree_util.tree_leaves(det_pt.params)[0])
+    assert np.isfinite(got).all()
+    # the imported stem conv must equal the state dict's (HWIO transpose)
+    want = np.transpose(state["backbone.body.conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(det_pt.params["backbone"]["stem"]["conv"]["w"]), want)
+
+    with pytest.raises(ValueError, match="no torch-checkpoint importer"):
+        Detector(model_name="yolov3", input_size=128, use_pallas=False,
+                 weights_path=pt_path)
 
 
 def test_coco_export(detector):
