@@ -59,6 +59,42 @@ def test_e2e_golden_regression():
     np.testing.assert_array_equal(d.classes, ref["classes"])
 
 
+@pytest.mark.parametrize("name,size,conf", [
+    ("retinanet", 160, 0.005),  # prior-prob bias → ~0.01 scores at init
+    ("fcos", 160, 0.005),
+    ("rapid", 128, 0.25),
+])
+def test_e2e_golden_all_families(name, size, conf):
+    """Same regression pin for every model family: any change to the
+    family's decode / postprocess / letterbox semantics moves these
+    self-generated goldens (small input sizes keep XLA:CPU compiles
+    cheap; the semantics pinned are size-independent)."""
+    from mydetection_tpu import Detector
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          f"{name}_e2e.npz")
+    det = Detector(model_name=name, input_size=size,
+                   compute_dtype=jnp.float32, use_pallas=False, rng_seed=0)
+    d = det.detect_one(np_img=golden_image(), conf_thres=conf, nms_iou=0.45)
+    assert len(d) > 0, "golden scenario must produce detections"
+    payload = {"boxes": d.boxes_xyxy, "scores": d.scores, "classes": d.classes}
+    if d.boxes_rot is not None:
+        payload["boxes_rot"] = d.boxes_rot
+    if not os.path.exists(golden):  # first run: write the golden
+        os.makedirs(os.path.dirname(golden), exist_ok=True)
+        np.savez(golden, **payload)
+        pytest.skip("golden file created; rerun to verify")
+    ref = np.load(golden)
+    assert len(d) == len(ref["scores"]), (len(d), len(ref["scores"]))
+    np.testing.assert_allclose(d.scores, ref["scores"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d.boxes_xyxy, ref["boxes"], rtol=1e-4,
+                               atol=1e-2)
+    np.testing.assert_array_equal(d.classes, ref["classes"])
+    if "boxes_rot" in payload:
+        np.testing.assert_allclose(d.boxes_rot, ref["boxes_rot"], rtol=1e-4,
+                                   atol=1e-2)
+
+
 def test_pipeline_traces_once_per_bucket():
     import jax
 
