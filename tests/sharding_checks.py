@@ -146,6 +146,32 @@ def test_data_parallel_forward_matches_single_device():
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
 
 
+def test_data_parallel_retinanet_forward_matches():
+    """ResNet-FPN family under GSPMD: the dense RetinaNet forward
+    (ImageNet standardization → ResNet-50 → FPN → subnets → decode)
+    sharded over a 2-device mesh must match unsharded execution —
+    covers conv/BN/GN graphs the YOLOv3 checks don't touch."""
+    from mydetection_tpu.registry import get_model
+
+    model = get_model("retinanet", input_size=64, num_classes=4,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1))
+    images = np.random.RandomState(1).randint(0, 255, (4, 64, 64, 3), np.uint8)
+
+    fwd = jax.jit(lambda p, x: model.forward_dense(p, x)[0])
+    d1 = fwd(params, jnp.asarray(images))
+    mesh = make_mesh(2)
+    d2 = fwd(replicate(params, mesh), shard_batch(images, mesh))
+    # tolerance is looser than the yolov3 check's: ResNet-50+FPN is
+    # deeper, and batch-2-vs-4 conv-tiling noise reaches ~6e-4
+    # normalized by the output max (0.04 px / 6e-4 score — no semantic
+    # meaning)
+    for k, atol in (("boxes", 2e-3), ("scores", 2e-3)):
+        a, b = np.asarray(d1[k]), np.asarray(d2[k])
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=atol)
+
+
 def check_data_parallel_detector():
     """Detector(data_parallel=True) must produce the same detections as
     single-device on an 8-image batch."""
@@ -190,6 +216,8 @@ if __name__ == "__main__":
     print("train step equivalence ok", flush=True)
     test_data_parallel_forward_matches_single_device()
     print("forward equivalence ok", flush=True)
+    test_data_parallel_retinanet_forward_matches()
+    print("retinanet forward equivalence ok", flush=True)
     check_data_parallel_detector()
     print("data-parallel detector ok", flush=True)
     print("ALL SHARDING CHECKS PASSED", flush=True)
