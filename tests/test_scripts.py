@@ -99,3 +99,25 @@ def test_evaluate_cli_rotated(coco_dir, tmp_path, monkeypatch, capsys):
         "--input-size", "64", "--batch-size", "4", "--conf-thres", "0.3",
         "--max-images", "4", "--float32", "--rotated"], monkeypatch, capsys)
     assert "AP50" in out
+
+
+@pytest.mark.slow
+def test_train_rotated_with_val(coco_dir, tmp_path, monkeypatch, capsys):
+    """RAPiD CLI training: rotated labels, rotation augmentation, and
+    the rotated-IoU val evaluator wired into --val-every."""
+    gt = json.load(open(coco_dir / "ann.json"))
+    for a in gt["annotations"]:
+        bb = a["bbox"]
+        a["bbox"] = [bb[0] + bb[2] / 2, bb[1] + bb[3] / 2, bb[2], bb[3], 20.0]
+    ann = tmp_path / "rot_ann.json"
+    json.dump(gt, open(ann, "w"))
+    ckpt_dir = str(tmp_path / "weights")
+    out = run_main("train", [
+        "--model", "rapid", "--ann", str(ann), "--img-dir", str(coco_dir),
+        "--batch-size", "2", "--sizes", "64", "--max-gt", "8",
+        "--iterations", "2", "--ckpt-every", "2", "--log-every", "2",
+        "--ckpt-dir", ckpt_dir, "--float32",
+        "--val-every", "2", "--val-ann", str(ann), "--val-max-images", "4",
+    ], monkeypatch, capsys)
+    assert os.path.exists(os.path.join(ckpt_dir, "rapid_2.npz")), out[-2000:]
+    assert "val_AP50" in out

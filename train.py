@@ -154,15 +154,27 @@ def main() -> None:
 
         if args.val_every and it % args.val_every == 0 and args.val_ann:
             from mydetection_tpu.api import Detector
-            from mydetection_tpu.eval.evaluator import evaluate_detector
             det = Detector(model_name=args.model,
                            params=jax.device_get(params),
                            num_classes=cfg.num_classes)
-            stats = evaluate_detector(det, args.val_ann,
-                                      args.val_img_dir or args.img_dir,
-                                      max_images=args.val_max_images,
-                                      verbose=False)
-            row = {"iter": it, "val_AP": stats["AP"], "val_AP50": stats["AP50"]}
+            if rotated:
+                # rotated models score with rotated-IoU matching
+                # (SURVEY.md §2.14 fisheye evaluator), not enclosing-box
+                # COCO AP
+                from mydetection_tpu.eval.rotated_eval import (
+                    evaluate_rotated_detector,
+                )
+                stats = evaluate_rotated_detector(
+                    det, args.val_ann, args.val_img_dir or args.img_dir,
+                    max_images=args.val_max_images, verbose=False)
+            else:
+                from mydetection_tpu.eval.evaluator import evaluate_detector
+                stats = evaluate_detector(det, args.val_ann,
+                                          args.val_img_dir or args.img_dir,
+                                          max_images=args.val_max_images,
+                                          verbose=False)
+            row = {"iter": it, "val_AP": stats.get("AP", stats.get("AP50")),
+                   "val_AP50": stats["AP50"]}
             print(row, flush=True)
             metrics_fh.write(json.dumps(row) + "\n")
             metrics_fh.flush()
