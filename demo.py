@@ -29,11 +29,19 @@ def main() -> None:
     ap.add_argument("--conf-thres", type=float, default=0.3)
     ap.add_argument("--nms-iou", type=float, default=0.45)
     ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--float32", action="store_true",
+                    help="float32 conv compute (debug/CPU; default bf16)")
     args = ap.parse_args()
+
+    import jax.numpy as jnp
 
     from mydetection_tpu import Detector
 
-    overrides = {"input_size": args.input_size} if args.input_size else {}
+    overrides = {}
+    if args.input_size:
+        overrides["input_size"] = args.input_size
+    if args.float32:
+        overrides["compute_dtype"] = jnp.float32
     det = Detector(model_name=args.model, weights_path=args.weights,
                    **overrides)
 

@@ -121,3 +121,14 @@ def test_train_rotated_with_val(coco_dir, tmp_path, monkeypatch, capsys):
     ], monkeypatch, capsys)
     assert os.path.exists(os.path.join(ckpt_dir, "rapid_2.npz")), out[-2000:]
     assert "val_AP50" in out
+
+
+def test_demo_cli(coco_dir, tmp_path, monkeypatch, capsys):
+    """demo.py over a directory: visualizations written for each image."""
+    out_dir = str(tmp_path / "demo_out")
+    out = run_main("demo", [
+        "--model", "yolov3", "--input", str(coco_dir), "--out-dir", out_dir,
+        "--conf-thres", "0.2", "--input-size", "64", "--float32",
+    ], monkeypatch, capsys)
+    pngs = [f for f in os.listdir(out_dir) if f.endswith("_det.png")]
+    assert len(pngs) == 6, (pngs, out[-1000:])
