@@ -142,7 +142,10 @@ class Detector:
             from mydetection_tpu.weight_import import load_darknet_weights
 
             init = self.model.init(jax.random.PRNGKey(rng_seed))
-            return load_darknet_weights(init, path)
+            # importers return host-numpy trees; place once so every
+            # jitted call doesn't re-transfer the weights (the remote
+            # transport pays per-call H2D otherwise)
+            return jax.device_put(load_darknet_weights(init, path))
         if lower.endswith((".pt", ".pth")):
             from mydetection_tpu import weight_import as wi
 
@@ -150,9 +153,9 @@ class Detector:
             init = self.model.init(jax.random.PRNGKey(rng_seed))
             name = self.cfg.name
             if name.startswith("retinanet"):
-                return wi.import_retinanet_state_dict(init, state)
+                return jax.device_put(wi.import_retinanet_state_dict(init, state))
             if name.startswith("fcos"):
-                return wi.import_fcos_state_dict(init, state)
+                return jax.device_put(wi.import_fcos_state_dict(init, state))
             raise ValueError(
                 f"no torch-checkpoint importer for model '{name}'; use "
                 "weight_import.import_state_dict with an explicit name "

@@ -97,6 +97,9 @@ def random_augment(image: np.ndarray, boxes: np.ndarray,
         image, boxes = hflip(image, boxes)
     if rotated and rng.rand() < 0.5:
         image, boxes = vflip(image, boxes)
-    if rotated and rng.rand() < rotate_prob:
+    # rotation honors an explicit rotate_prob for axis-aligned labels
+    # too (enclosing-box approximation); it defaults on only for
+    # rotated datasets (see TrainLoader)
+    if rotate_prob > 0 and rng.rand() < rotate_prob:
         image, boxes = rotate(image, boxes, float(rng.uniform(0, 360)))
     return np.ascontiguousarray(image), boxes

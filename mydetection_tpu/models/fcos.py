@@ -38,12 +38,18 @@ def level_shapes(input_size: int) -> list[tuple[int, int]]:
 
 
 def generate_locations(input_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """All pyramid locations: ((N, 2) xy pixels, (N,) stride per loc)."""
+    """All pyramid locations: ((N, 2) xy pixels, (N,) stride per loc).
+
+    Locations sit at grid·stride — torchvision's convention (FCOS there
+    regresses against anchor centers at arange(grid)·stride), NOT the
+    paper's floor(s/2)+grid·s cell centers; imported torchvision
+    weights decode against these exact points.
+    """
     locs, strides = [], []
     for stride, (h, w) in zip(STRIDES, level_shapes(input_size)):
         gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-        xy = jnp.stack([(gx + 0.5) * stride, (gy + 0.5) * stride], -1)
+        xy = jnp.stack([gx * stride, gy * stride], -1)
         locs.append(xy.reshape(-1, 2))
         strides.append(jnp.full((h * w,), float(stride), jnp.float32))
     return jnp.concatenate(locs, 0), jnp.concatenate(strides, 0)

@@ -42,36 +42,49 @@ def level_shapes(input_size: int) -> list[tuple[int, int]]:
             for s in STRIDES]
 
 
-def anchor_wh() -> jnp.ndarray:
-    """The 9 (w, h) anchor shapes per unit stride-size, (A, 2).
+def anchor_wh(base_size: float) -> jnp.ndarray:
+    """The 9 (w, h) anchors for a level with `base_size` px, (A, 2).
 
-    Anchor base size is 4x the stride (32..512 over P3..P7).
+    TORCHVISION-exact (`AnchorGenerator` semantics, the weight-import
+    parity target): per-level pixel sizes (x, int(x·2^⅓), int(x·2^⅔))
+    — note the int() truncation torchvision applies when building the
+    sizes tuple — aspect via √ratio, and half-extents rounded to
+    integers (`base_anchors.round()`; banker's rounding like torch).
+    Base size is 4× the stride (32..512 over P3..P7), as in the
+    RetinaNet paper.
     """
+    scales = (base_size, float(int(base_size * 2 ** (1 / 3))),
+              float(int(base_size * 2 ** (2 / 3))))
     shapes = []
     for ratio in ASPECT_RATIOS:
-        for scale in OCTAVE_SCALES:
-            area = (4.0 * scale) ** 2  # in stride units
-            w = math.sqrt(area / ratio)
-            h = w * ratio
-            shapes.append((w, h))
-    return jnp.asarray(shapes, jnp.float32)  # (9, 2), stride units
+        h_r = math.sqrt(ratio)
+        w_r = 1.0 / h_r
+        for scale in scales:
+            # x1 = round(-ws/2), x2 = round(ws/2) → width 2·round(ws/2)
+            shapes.append((2.0 * round(w_r * scale / 2.0),
+                           2.0 * round(h_r * scale / 2.0)))
+    return jnp.asarray(shapes, jnp.float32)  # (9, 2) pixels
 
 
 def generate_anchors(input_size: int) -> jnp.ndarray:
     """All anchors for an input size, (N, 4) cxcywh in pixels.
 
     Order matches the head's flattened output: level-major, then
-    row-major cells, then the 9 anchor shapes.
+    row-major cells, then the 9 anchor shapes. Anchor centers sit at
+    grid·stride — torchvision's convention (its shifts are
+    arange(grid)·stride with base anchors centered at 0), NOT the
+    (grid+0.5)·stride cell centers some implementations use; imported
+    torchvision weights regress against these exact centers.
     """
-    wh_unit = anchor_wh()
     out = []
     for stride, (h, w) in zip(STRIDES, level_shapes(input_size)):
+        wh_px = anchor_wh(4.0 * stride)
         gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-        cx = (gx + 0.5) * stride
-        cy = (gy + 0.5) * stride
+        cx = gx * stride
+        cy = gy * stride
         ctr = jnp.stack([cx, cy], -1)[:, :, None, :]          # (H, W, 1, 2)
-        wh = (wh_unit * stride)[None, None, :, :]             # (1, 1, 9, 2)
+        wh = wh_px[None, None, :, :]                          # (1, 1, 9, 2)
         boxes = jnp.concatenate(
             [jnp.broadcast_to(ctr, (h, w, NUM_ANCHORS, 2)),
              jnp.broadcast_to(wh, (h, w, NUM_ANCHORS, 2))], -1)

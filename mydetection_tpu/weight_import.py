@@ -239,7 +239,16 @@ def _get(state: dict, *candidates: str) -> np.ndarray:
 
 
 def _put_conv(node: Params, state: dict, *weight_keys: str) -> None:
-    node["w"] = import_torch_conv(_get(state, *weight_keys))
+    w = import_torch_conv(_get(state, *weight_keys))
+    if w.shape != node["w"].shape:
+        # catch class-count / channel mismatches HERE with a readable
+        # message instead of an opaque XLA shape error at first forward
+        # (e.g. a 91-class COCO checkpoint into an 80-class model)
+        raise ValueError(
+            f"checkpoint tensor {weight_keys[0]} has HWIO shape {w.shape} "
+            f"but the model expects {node['w'].shape} — was the model "
+            "built with the checkpoint's num_classes?")
+    node["w"] = w
     try:
         node["b"] = _get(state, *(k.replace(".weight", ".bias")
                                   for k in weight_keys))
@@ -282,10 +291,11 @@ def import_retinanet_state_dict(params: Params, state: dict) -> Params:
     Anchor-order note: our head reshape (B,H,W,A*C)→(N,C) and
     torchvision's both flatten level-major, cell row-major, anchor
     fastest, with anchors ratio-major/scale-minor — verified by
-    tests/test_weight_import.py::test_retinanet_anchor_order. Residual
-    parity caveats vs torchvision (documented, not blocking import):
-    torchvision rounds base anchors to ints and centers them at
-    grid*stride (we use (grid+0.5)*stride).
+    tests/test_weight_import.py::test_retinanet_anchor_order. Anchor
+    GEOMETRY is torchvision-exact too (int-truncated sizes, rounded
+    half-extents, centers at grid*stride — models/retinanet.anchor_wh),
+    so imported checkpoints decode against the anchors they were
+    trained with.
     """
     import copy
 

@@ -15,10 +15,14 @@ def test_locations_order_and_values():
     locs, strides = np.asarray(locs), np.asarray(strides)
     shapes = fcos.level_shapes(128)
     assert len(locs) == sum(h * w for h, w in shapes)
-    np.testing.assert_allclose(locs[0], [4.0, 4.0])   # P3 cell (0,0)
+    # torchvision convention: locations at grid·stride (see
+    # generate_locations docstring)
+    np.testing.assert_allclose(locs[0], [0.0, 0.0])   # P3 cell (0,0)
+    np.testing.assert_allclose(locs[1], [8.0, 0.0])   # P3 cell (0,1)
     assert strides[0] == 8.0
     n3 = shapes[0][0] * shapes[0][1]
-    np.testing.assert_allclose(locs[n3], [8.0, 8.0])  # first P4 loc
+    np.testing.assert_allclose(locs[n3], [0.0, 0.0])  # first P4 loc
+    np.testing.assert_allclose(locs[n3 + 1], [16.0, 0.0])
     assert strides[n3] == 16.0
 
 
@@ -37,8 +41,8 @@ def test_assignment_center_and_range():
     p3 = np.asarray(strides) == 8.0
     center_idx = np.argmin(np.where(p3, np.abs(locs_np - 64).sum(1), 1e9))
     assert positive[center_idx]
-    # nearest P3 loc is (60,60): l=r ratio 26/34 -> ctr = 26/34 ≈ 0.765
-    assert float(np.asarray(ctr)[0, center_idx]) == pytest.approx(26 / 34, abs=1e-4)
+    # nearest P3 loc is exactly (64,64) (grid·stride): l=t=r=b=30 → ctr 1
+    assert float(np.asarray(ctr)[0, center_idx]) == pytest.approx(1.0, abs=1e-4)
     # all positives sit on P3 (max dist 60 < 64) given center sampling
     assert (np.asarray(strides)[positive] == 8.0).all()
 

@@ -15,23 +15,28 @@ def test_anchor_counts_and_order():
     shapes = retinanet.level_shapes(128)
     expect = sum(h * w for h, w in shapes) * retinanet.NUM_ANCHORS
     assert anchors.shape == (expect, 4)
-    # first anchor: P3 stride 8, cell (0,0) center (4,4), scale 1 ratio 0.5
-    np.testing.assert_allclose(anchors[0, :2], [4.0, 4.0])
-    # ratio 0.5 = h/w, area (4*8)^2 => w = 32*sqrt(2), h = 16*sqrt(2)
-    np.testing.assert_allclose(anchors[0, 2], 32 * np.sqrt(2), rtol=1e-6)
-    np.testing.assert_allclose(anchors[0, 3], 16 * np.sqrt(2), rtol=1e-6)
+    # first anchor: P3, cell (0,0) → center (0,0) (torchvision shifts
+    # are arange(grid)·stride); size 32 ratio 0.5 (= h/w):
+    # ws = 32·√2 = 45.25 → 2·round(22.63) = 46; hs = 22.63 → 22
+    np.testing.assert_allclose(anchors[0, :2], [0.0, 0.0])
+    np.testing.assert_allclose(anchors[0, 2], 46.0)
+    np.testing.assert_allclose(anchors[0, 3], 22.0)
+    # torchvision truncates the octave sizes to int: int(32·2^⅓) = 40
+    # → ratio 1.0 scale 2^⅓ anchor is exactly (40, 40)
+    np.testing.assert_allclose(anchors[4, 2:], [40.0, 40.0])
 
 
 def test_anchor_strides_cover_levels():
     anchors = np.asarray(retinanet.generate_anchors(128))
     shapes = retinanet.level_shapes(128)
     n3 = shapes[0][0] * shapes[0][1] * 9
-    # last P3 anchor center is at ((W-1)+0.5)*8
+    # last P3 anchor center is at (W-1)*8
     np.testing.assert_allclose(anchors[n3 - 1, :2],
-                               [(shapes[0][1] - 0.5) * 8,
-                                (shapes[0][0] - 0.5) * 8])
-    # first P4 anchor center at (8, 8) with stride 16
-    np.testing.assert_allclose(anchors[n3, :2], [8.0, 8.0])
+                               [(shapes[0][1] - 1) * 8,
+                                (shapes[0][0] - 1) * 8])
+    # first P4 anchor center at (0, 0); its ratio-1 scale-1 size is 64
+    np.testing.assert_allclose(anchors[n3, :2], [0.0, 0.0])
+    np.testing.assert_allclose(anchors[n3 + 3, 2:], [64.0, 64.0])
 
 
 def test_decode_encode_roundtrip(rng):

@@ -277,15 +277,18 @@ def test_retinanet_anchor_order():
         cell = anchors[off: off + h * w * a].reshape(h, w, a, 4)
         # anchor centers constant across the 9 shapes of one cell
         np.testing.assert_allclose(cell[1 % h, 2 % w, :, 0],
-                                   ((2 % w) + 0.5) * stride)
-        # ratio-major/scale-minor: torchvision formula
+                                   (2 % w) * stride)
+        # ratio-major/scale-minor with torchvision's int-truncated
+        # sizes and rounded half-extents
+        sizes = (4.0 * stride, float(int(4 * stride * 2 ** (1 / 3))),
+                 float(int(4 * stride * 2 ** (2 / 3))))
         k = 0
         for ratio in rn.ASPECT_RATIOS:
-            for scale in rn.OCTAVE_SCALES:
-                wexp = 4.0 * scale * stride / np.sqrt(ratio)
-                np.testing.assert_allclose(cell[0, 0, k, 2], wexp, rtol=1e-5)
-                np.testing.assert_allclose(cell[0, 0, k, 3] / cell[0, 0, k, 2],
-                                           ratio, rtol=1e-5)
+            for size in sizes:
+                wexp = 2.0 * round(size / np.sqrt(ratio) / 2.0)
+                hexp = 2.0 * round(size * np.sqrt(ratio) / 2.0)
+                np.testing.assert_allclose(cell[0, 0, k, 2], wexp)
+                np.testing.assert_allclose(cell[0, 0, k, 3], hexp)
                 k += 1
         off += h * w * a
     assert off == anchors.shape[0]

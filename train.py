@@ -156,7 +156,7 @@ def main() -> None:
             from mydetection_tpu.api import Detector
             det = Detector(model_name=args.model,
                            params=jax.device_get(params),
-                           num_classes=cfg.num_classes)
+                           num_classes=cfg.num_classes, **overrides)
             if rotated:
                 # rotated models score with rotated-IoU matching
                 # (SURVEY.md §2.14 fisheye evaluator), not enclosing-box
