@@ -51,16 +51,18 @@ def decode_level(raw: jnp.ndarray, anchors, stride: int):
     n = h * w * na
     # 3-D (B, N, 6) decode — 5-D (B, H, W, A, 6) tilings are ~14x
     # slower on TPU (see yolov3._grid_anchor_tables)
-    r = raw.reshape(b, n, CHANNELS_PER_ANCHOR).astype(jnp.float32)
-    from mydetection_tpu.models.yolov3 import _grid_anchor_tables
+    r = raw.reshape(b, n, CHANNELS_PER_ANCHOR)
+    from mydetection_tpu.models.yolov3 import (
+        _grid_anchor_tables,
+        decode_boxes_level,
+    )
     grid, anc = _grid_anchor_tables(h, w, anchors)
 
-    xy = (jax.nn.sigmoid(r[..., 0:2]) + grid[None]) * float(stride)
-    wh = jnp.exp(jnp.clip(r[..., 2:4], -TWH_CLAMP, TWH_CLAMP)) * anc[None]
-    theta = (jax.nn.sigmoid(r[..., 4:5]) - 0.5) * jnp.pi
-    conf = jax.nn.sigmoid(r[..., 5])
+    xywh = decode_boxes_level(r, grid, anc, stride)  # shared YOLO decode
+    theta = (jax.nn.sigmoid(r[..., 4:5].astype(jnp.float32)) - 0.5) * jnp.pi
+    conf = jax.nn.sigmoid(r[..., 5].astype(jnp.float32))
 
-    boxes5 = jnp.concatenate([xy, wh, theta], -1)
+    boxes5 = jnp.concatenate([xywh, theta], -1)
     return {"boxes5": boxes5, "conf": conf}
 
 

@@ -170,31 +170,39 @@ def _grid_anchor_tables(h: int, w: int, anchors):
     return jnp.asarray(grid), jnp.asarray(anc)
 
 
+def decode_boxes_level(r: jnp.ndarray, grid: jnp.ndarray, anc: jnp.ndarray,
+                       stride: int) -> jnp.ndarray:
+    """Shared YOLO box decode for one level: channels 0-3 of flat raw
+    (B, N, C_any) → (B, N, 4) cxcywh in net pixels, float32.
+
+    The ONE definition of sigmoid(txy)+grid / clip+exp(twh)·anchor used
+    by the multi-label, single-label, and rotated (rapid) decode paths
+    — decode math runs in float32 for bit-consistency regardless of the
+    conv compute dtype (SURVEY.md §7 hard-part #2); slices are cast
+    individually so the full raw tensor is never materialized in f32.
+    """
+    xy = (jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32)) + grid[None]) \
+        * float(stride)
+    twh = jnp.clip(r[..., 2:4].astype(jnp.float32), -TWH_CLAMP, TWH_CLAMP)
+    wh = jnp.exp(twh) * anc[None]
+    return jnp.concatenate([xy, wh], axis=-1)
+
+
 def decode_level(raw: jnp.ndarray, anchors, stride: int, num_classes: int):
     """One level's raw output → dense predictions.
 
     raw (B, H, W, A*(5+C)) → dict with
       boxes (B, H*W*A, 4) cxcywh net-pixels; obj (B, N); cls (B, N, C).
-    Decode math runs in float32 for bit-consistency regardless of the
-    conv compute dtype (SURVEY.md §7 hard-part #2); slices are cast
-    individually so the full raw tensor is never materialized in f32.
     """
     b, h, w, _ = raw.shape
     na = len(anchors)
     n = h * w * na
     r = raw.reshape(b, n, 5 + num_classes)  # free: row-major contiguous
     grid, anc = _grid_anchor_tables(h, w, anchors)
-
-    sig_xy = jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32))
-    xy = (sig_xy + grid[None]) * float(stride)
-    twh = jnp.clip(r[..., 2:4].astype(jnp.float32), -TWH_CLAMP, TWH_CLAMP)
-    wh = jnp.exp(twh) * anc[None]
-    obj = jax.nn.sigmoid(r[..., 4].astype(jnp.float32))
-    cls = jax.nn.sigmoid(r[..., 5:].astype(jnp.float32))
     return {
-        "boxes": jnp.concatenate([xy, wh], axis=-1),
-        "obj": obj,
-        "cls": cls,
+        "boxes": decode_boxes_level(r, grid, anc, stride),
+        "obj": jax.nn.sigmoid(r[..., 4].astype(jnp.float32)),
+        "cls": jax.nn.sigmoid(r[..., 5:].astype(jnp.float32)),
     }
 
 
@@ -235,10 +243,6 @@ def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
         n = h * w * na
         r = raw.reshape(b, n, 5 + num_classes)  # 3-D, native dtype
         grid, anc = _grid_anchor_tables(h, w, ANCHORS[i])
-        xy = (jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32)) + grid[None]) \
-            * float(STRIDES[i])
-        twh = jnp.clip(r[..., 2:4].astype(jnp.float32), -TWH_CLAMP, TWH_CLAMP)
-        wh = jnp.exp(twh) * anc[None]
         # class max/argmax on the raw logits in their NATIVE dtype
         # (bf16 on TPU): sigmoid is monotone so the winner is exact;
         # only the winning logit is cast up for the f32 sigmoid.
@@ -246,7 +250,7 @@ def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
         score = jax.nn.sigmoid(r[..., 4].astype(jnp.float32)) * jax.nn.sigmoid(
             jnp.max(cls_logits, axis=-1).astype(jnp.float32))
         cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
-        boxes.append(jnp.concatenate([xy, wh], axis=-1))
+        boxes.append(decode_boxes_level(r, grid, anc, STRIDES[i]))
         scores.append(score)
         classes.append(cls)
     return {
