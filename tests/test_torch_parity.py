@@ -535,3 +535,125 @@ def _dummy_head_for_sequence():
     head["lateral4"] = conv
     head["lateral3"] = conv
     return head
+
+
+# ---------------------------------------------------------------------------
+# FULL YOLOv3 (backbone + neck + heads) through a real .weights file
+# ---------------------------------------------------------------------------
+
+class _TorchYoloNeck(nn.Module):
+    """Mirror of the YOLOv3 neck/heads in darknet cfg order."""
+
+    def __init__(self, num_classes: int):
+        super().__init__()
+        no = 3 * (5 + num_classes)
+
+        def conv5(c_in, c_mid):
+            return nn.ModuleList([
+                _DarknetConvBN(c_in, c_mid, 1),
+                _DarknetConvBN(c_mid, c_mid * 2, 3),
+                _DarknetConvBN(c_mid * 2, c_mid, 1),
+                _DarknetConvBN(c_mid, c_mid * 2, 3),
+                _DarknetConvBN(c_mid * 2, c_mid, 1),
+            ])
+
+        self.block5 = conv5(1024, 512)
+        self.head5_conv = _DarknetConvBN(512, 1024, 3)
+        self.head5_out = nn.Conv2d(1024, no, 1, bias=True)
+        self.lateral4 = _DarknetConvBN(512, 256, 1)
+        self.block4 = conv5(512 + 256, 256)
+        self.head4_conv = _DarknetConvBN(256, 512, 3)
+        self.head4_out = nn.Conv2d(512, no, 1, bias=True)
+        self.lateral3 = _DarknetConvBN(256, 128, 1)
+        self.block3 = conv5(256 + 128, 128)
+        self.head3_conv = _DarknetConvBN(128, 256, 3)
+        self.head3_out = nn.Conv2d(256, no, 1, bias=True)
+
+    def forward(self, c3, c4, c5):
+        x = c5
+        for m in self.block5:
+            x = m(x)
+        x5 = x
+        out5 = self.head5_out(self.head5_conv(x5))
+        up = F.interpolate(self.lateral4(x5), scale_factor=2, mode="nearest")
+        x = torch.cat([up, c4], dim=1)
+        for m in self.block4:
+            x = m(x)
+        x4 = x
+        out4 = self.head4_out(self.head4_conv(x4))
+        up = F.interpolate(self.lateral3(x4), scale_factor=2, mode="nearest")
+        x = torch.cat([up, c3], dim=1)
+        for m in self.block3:
+            x = m(x)
+        out3 = self.head3_out(self.head3_conv(x))
+        return out5, out4, out3
+
+    def binary_chunks(self):
+        """cfg order: per branch 5 block convs, head conv, head out
+        (bias conv: [b, w]), then the next branch's lateral."""
+        chunks = []
+        for block, hconv, hout, lateral in (
+                (self.block5, self.head5_conv, self.head5_out, self.lateral4),
+                (self.block4, self.head4_conv, self.head4_out, self.lateral3),
+                (self.block3, self.head3_conv, self.head3_out, None)):
+            for m in block:
+                chunks.extend(m.binary_chunks())
+            chunks.extend(hconv.binary_chunks())
+            chunks.append(hout.bias.detach().numpy())
+            chunks.append(hout.weight.detach().numpy().ravel())
+            if lateral is not None:
+                chunks.extend(lateral.binary_chunks())
+        return chunks
+
+
+def test_yolov3_full_matches_torch_via_weights_file(tmp_path):
+    """Flagship-path parity: a randomized torch Darknet-53 + YOLOv3
+    neck/heads serialized into an actual darknet .weights FILE (header
+    + stream), loaded with load_darknet_weights (the official-weights
+    import), must reproduce the torch raw head maps elementwise —
+    locks the whole cfg-order conv sequence, the neck concat order
+    ([upsample, C4]), and the bias-conv stream convention."""
+    from mydetection_tpu.models import darknet, yolov3
+    from mydetection_tpu.weight_import import load_darknet_weights
+
+    nc = 7
+    rng = _seed_all(6)
+    trunk = _TorchDarknet53().eval()
+    neck = _TorchYoloNeck(nc).eval()
+    for net in (trunk, neck):
+        for m in net.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                _randomize_bn(m, rng)
+
+    chunks = []
+    for block in trunk.seq:
+        chunks.extend(block.binary_chunks())
+    chunks.extend(neck.binary_chunks())
+    stream = np.concatenate([np.asarray(c, np.float32).ravel()
+                             for c in chunks])
+    path = str(tmp_path / "full.weights")
+    with open(path, "wb") as fh:
+        fh.write(np.asarray([0, 2, 0], np.int32).tobytes())
+        fh.write(np.asarray([0], np.int64).tobytes())
+        stream.tofile(fh)
+
+    params = {"backbone": darknet.init(jax.random.PRNGKey(0)),
+              "head": yolov3.init(jax.random.PRNGKey(1), nc)}
+    params = load_darknet_weights(params, path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+
+    def fwd(p, v):
+        feats, _ = darknet.apply(p["backbone"], v)
+        outs, _ = yolov3.apply(p["head"], feats)
+        return outs
+
+    outs = jax.jit(fwd)(params, jnp.asarray(x))
+    with torch.no_grad():
+        tc3, tc4, tc5 = trunk(torch.tensor(x).permute(0, 3, 1, 2))
+        refs = neck(tc3, tc4, tc5)
+    for got, ref, name in zip(outs, refs, ("P5", "P4", "P3")):
+        want = ref.permute(0, 2, 3, 1).numpy()
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        _rel_close(np.asarray(got), want, 2e-4)
