@@ -657,3 +657,62 @@ def test_yolov3_full_matches_torch_via_weights_file(tmp_path):
         want = ref.permute(0, 2, 3, 1).numpy()
         assert got.shape == want.shape, (name, got.shape, want.shape)
         _rel_close(np.asarray(got), want, 2e-4)
+
+
+def test_rapid_full_matches_torch_via_weights_file(tmp_path):
+    """RAPiD shares the YOLOv3 neck with 6 channels/anchor (x,y,w,h,θ,
+    conf) — 3·(5+1) wide, so the nc=1 torch mirror is architecturally
+    identical. Raw head maps through a real .weights file must match,
+    and the rotated decode of those maps must be well-formed."""
+    from mydetection_tpu.models import darknet, rapid, yolov3
+    from mydetection_tpu.weight_import import load_darknet_weights
+
+    rng = _seed_all(8)
+    trunk = _TorchDarknet53().eval()
+    neck = _TorchYoloNeck(num_classes=1).eval()  # 3*(5+1) = 18 = 3*6 ch
+    for net in (trunk, neck):
+        for m in net.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                _randomize_bn(m, rng)
+
+    chunks = []
+    for block in trunk.seq:
+        chunks.extend(block.binary_chunks())
+    chunks.extend(neck.binary_chunks())
+    stream = np.concatenate([np.asarray(c, np.float32).ravel()
+                             for c in chunks])
+    path = str(tmp_path / "rapid.weights")
+    with open(path, "wb") as fh:
+        fh.write(np.asarray([0, 2, 0], np.int32).tobytes())
+        fh.write(np.asarray([0], np.int64).tobytes())
+        stream.tofile(fh)
+
+    params = {
+        "backbone": darknet.init(jax.random.PRNGKey(0)),
+        "head": yolov3.init(jax.random.PRNGKey(1), 1,
+                            channels_per_anchor=rapid.CHANNELS_PER_ANCHOR),
+    }
+    params = load_darknet_weights(params, path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+
+    def fwd(p, v):
+        feats, _ = darknet.apply(p["backbone"], v)
+        outs, _ = yolov3.apply(p["head"], feats)
+        return outs
+
+    outs = jax.jit(fwd)(params, jnp.asarray(x))
+    with torch.no_grad():
+        tc3, tc4, tc5 = trunk(torch.tensor(x).permute(0, 3, 1, 2))
+        refs = neck(tc3, tc4, tc5)
+    for got, ref, name in zip(outs, refs, ("P5", "P4", "P3")):
+        want = ref.permute(0, 2, 3, 1).numpy()
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        _rel_close(np.asarray(got), want, 2e-4)
+
+    dec = rapid.decode(outs)
+    theta = np.asarray(dec["boxes5"])[..., 4]
+    assert (np.abs(theta) <= np.pi / 2 + 1e-6).all()
+    conf = np.asarray(dec["conf"])
+    assert ((conf >= 0) & (conf <= 1)).all()
