@@ -30,7 +30,7 @@ from PIL import Image
 from mydetection_tpu import checkpoint as ckpt_lib
 from mydetection_tpu.ops.nms import postprocess_impl
 from mydetection_tpu.ops.rotated import rotated_postprocess_impl
-from mydetection_tpu.registry import Model, get_model
+from mydetection_tpu.registry import Model, fast_init, get_model
 from mydetection_tpu.utils.image_ops import (
     LetterboxInfo,
     boxes_xyxy_to_original,
@@ -116,7 +116,7 @@ class Detector:
         elif weights_path is not None:
             self.params = self._load_weights(weights_path, rng_seed)
         else:
-            self.params = self.model.init(jax.random.PRNGKey(rng_seed))
+            self.params = fast_init(self.model, jax.random.PRNGKey(rng_seed))
         self._jitted: dict[tuple, callable] = {}
         # data-parallel inference over all local chips ([spec]: batch
         # sharding over the slice mesh — per-image work is independent,
@@ -141,7 +141,7 @@ class Detector:
         if lower.endswith(".weights"):
             from mydetection_tpu.weight_import import load_darknet_weights
 
-            init = self.model.init(jax.random.PRNGKey(rng_seed))
+            init = fast_init(self.model, jax.random.PRNGKey(rng_seed))
             # importers return host-numpy trees; place once so every
             # jitted call doesn't re-transfer the weights (the remote
             # transport pays per-call H2D otherwise)
@@ -150,7 +150,7 @@ class Detector:
             from mydetection_tpu import weight_import as wi
 
             state = wi.load_torch_checkpoint(path)
-            init = self.model.init(jax.random.PRNGKey(rng_seed))
+            init = fast_init(self.model, jax.random.PRNGKey(rng_seed))
             name = self.cfg.name
             if name.startswith("retinanet"):
                 return jax.device_put(wi.import_retinanet_state_dict(init, state))

@@ -86,6 +86,22 @@ def get_model(name: str, **overrides) -> Model:
     return _REGISTRY[name](cfg)
 
 
+def fast_init(model: "Model", rng: jax.Array):
+    """Initialize params with backend-appropriate dispatch granularity.
+
+    On the TPU (remote transport, ~30 ms per dispatch) the eager init's
+    hundreds of tiny RNG ops dominate cold start: jitting the whole
+    init collapses them to one executable (measured 26.4 s → 16.9 s
+    cold, ~0 s for further inits, and the executable persists in the
+    compilation cache). On CPU the jitted graph compiles SLOWER than
+    the eager loop runs (12 s vs 16 s), so eager stays the default
+    there.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.jit(model.init)(rng)
+    return model.init(rng)
+
+
 # ---------------------------------------------------------------------------
 # YOLOv3
 # ---------------------------------------------------------------------------

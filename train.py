@@ -67,7 +67,7 @@ def main() -> None:
     from mydetection_tpu import checkpoint as ckpt_lib
     from mydetection_tpu.data.coco import CocoDataset
     from mydetection_tpu.data.loader import TrainLoader
-    from mydetection_tpu.registry import get_model
+    from mydetection_tpu.registry import fast_init, get_model
     from mydetection_tpu.training import burn_in_lr, make_train_step, sgd_init
 
     rotated = args.model == "rapid"
@@ -85,7 +85,7 @@ def main() -> None:
     print(f"model={cfg.name} classes={cfg.num_classes} sizes={sizes} "
           f"dataset={len(ds)} imgs devices={len(jax.devices())}")
 
-    params = model.init(jax.random.PRNGKey(args.seed))
+    params = fast_init(model, jax.random.PRNGKey(args.seed))
     velocity = sgd_init(params)
     start_iter = 0
     if args.resume:
