@@ -50,7 +50,8 @@ def main() -> None:
         stats = evaluate_rotated_detector(
             det, args.ann, args.img_dir, conf_thres=args.conf_thres,
             nms_iou=args.nms_iou, batch_size=args.batch_size,
-            input_size=args.input_size, max_images=args.max_images)
+            input_size=args.input_size, max_images=args.max_images,
+            num_threads=args.num_threads, results_path=args.out)
     else:
         # the head's class count must match the GT category set
         from mydetection_tpu.eval.cocoeval import COCOGt

@@ -20,15 +20,21 @@ SEP = "/"
 
 
 def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    """Tree → flat {path: array}. Round-trip faithful: tuples and
+    lists keep their container type (`#t<i>` / `#l<i>` path segments)
+    and None leaves survive as a marker entry — silently dropping them
+    would make a resumed optimizer state structurally different from
+    the saved one (tree_map raises on the mismatch)."""
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_tree(v, f"{prefix}{k}{SEP}"))
     elif isinstance(tree, (list, tuple)):
+        tag = "#t" if isinstance(tree, tuple) else "#l"
         for i, v in enumerate(tree):
-            out.update(flatten_tree(v, f"{prefix}#{i}{SEP}"))
+            out.update(flatten_tree(v, f"{prefix}{tag}{i}{SEP}"))
     elif tree is None:
-        pass
+        out[prefix + "__none__"] = np.zeros(0, np.float32)
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -43,12 +49,21 @@ def unflatten_tree(flat: dict[str, np.ndarray]) -> Any:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
 
+    def idx(key: str) -> int:
+        return int(key.lstrip("#tl"))
+
     def rebuild(node):
         if not isinstance(node, dict):
             return jnp.asarray(node)
+        if set(node) == {"__none__"}:
+            return None
         if node and all(k.startswith("#") for k in node):
-            items = sorted(node.items(), key=lambda kv: int(kv[0][1:]))
-            return [rebuild(v) for _, v in items]
+            items = sorted(node.items(), key=lambda kv: idx(kv[0]))
+            seq = [rebuild(v) for _, v in items]
+            # '#t' = tuple, '#l' or legacy bare '#<i>' = list
+            if next(iter(node)).startswith("#t"):
+                return tuple(seq)
+            return seq
         return {k: rebuild(v) for k, v in node.items()}
 
     return rebuild(root)

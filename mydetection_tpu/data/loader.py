@@ -71,6 +71,12 @@ class _ThreadPool:
             with self._done_lock:
                 while pos - self._next_emit > self._max_ahead and not self._errors:
                     self._done_lock.wait(timeout=0.5)
+                if self._errors:
+                    # another worker failed: the consumer is about to
+                    # raise — stop instead of racing through the whole
+                    # remaining index stream into the never-drained
+                    # reorder buffer (memory + wasted decode)
+                    return
             try:
                 result = self._fn(idx)
             except BaseException as e:  # surfaced on the consumer side
@@ -219,16 +225,16 @@ class TrainLoader:
     def _load(self, work: tuple[int, int, int]):
         epoch, index, size = work
         item = self.ds[index]
-        image, boxes = item["image"], item["boxes"]
+        image, boxes, classes = item["image"], item["boxes"], item["classes"]
         if self.augment:
             rng = np.random.RandomState(
                 (self.seed * 9_999_991 + epoch * 1_000_003 + index) % (2 ** 31))
-            image, boxes = random_augment(image, boxes, rng,
-                                          rotated=self.rotated,
-                                          rotate_prob=self.rotate_prob)
+            image, boxes, classes = random_augment(
+                image, boxes, rng, rotated=self.rotated,
+                rotate_prob=self.rotate_prob, classes=classes)
         canvas, info = letterbox_np(image, size)
         boxes = letterbox_labels(boxes, info.ratio, info.pad_x, info.pad_y)
-        return canvas, boxes, item["classes"]
+        return canvas, boxes, classes
 
     def epoch(self, epoch_idx: int):
         """One epoch of batches: (images u8, gt_boxes, gt_classes, gt_valid, size)."""

@@ -51,7 +51,8 @@ def vflip(image: np.ndarray, boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 
 
 def rotate(image: np.ndarray, boxes: np.ndarray, degrees: float,
-           *, expand: bool = False) -> tuple[np.ndarray, np.ndarray]:
+           *, expand: bool = False
+           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rotate image CCW about its center; exact label transform.
 
     For rotated (5-col) boxes the transform is exact: centers rotate,
@@ -60,6 +61,9 @@ def rotate(image: np.ndarray, boxes: np.ndarray, degrees: float,
     For axis-aligned (4-col) boxes the rotated box is re-enclosed
     axis-aligned (standard approximation; the reference restricts
     arbitrary rotation to the rotated-label fisheye datasets).
+
+    Returns (image, kept_boxes, keep_mask) — keep_mask indexes the
+    INPUT boxes so callers can filter parallel arrays (class ids).
     """
     h, w = image.shape[:2]
     pil = Image.fromarray(image).rotate(degrees, resample=Image.BILINEAR,
@@ -85,13 +89,30 @@ def rotate(image: np.ndarray, boxes: np.ndarray, degrees: float,
             bw, bh = out[:, 2], out[:, 3]
             out[:, 2] = np.abs(cos) * bw + np.abs(sin) * bh
             out[:, 3] = np.abs(sin) * bw + np.abs(cos) * bh
-    return out_img, out
+        if not expand:
+            # objects whose center rotated off the (uncropped) canvas
+            # are no longer visible — keeping them would turn invisible
+            # objects into positive training targets at clipped border
+            # cells
+            keep = ((out[:, 0] >= 0) & (out[:, 0] < nw)
+                    & (out[:, 1] >= 0) & (out[:, 1] < nh))
+            out = out[keep]
+        else:
+            keep = np.ones(len(out), bool)
+    else:
+        keep = np.ones(0, bool)
+    return out_img, out, keep
 
 
 def random_augment(image: np.ndarray, boxes: np.ndarray,
                    rng: np.random.RandomState, *, rotated: bool = False,
-                   rotate_prob: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
-    """The reference's default train-time pipeline."""
+                   rotate_prob: float = 0.0, classes: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """The reference's default train-time pipeline.
+
+    Returns (image, boxes, classes); `classes` (when given) is filtered
+    in lockstep with boxes that rotation drops off-canvas.
+    """
     image = hsv_jitter(image, rng)
     if rng.rand() < 0.5:
         image, boxes = hflip(image, boxes)
@@ -101,5 +122,7 @@ def random_augment(image: np.ndarray, boxes: np.ndarray,
     # too (enclosing-box approximation); it defaults on only for
     # rotated datasets (see TrainLoader)
     if rotate_prob > 0 and rng.rand() < rotate_prob:
-        image, boxes = rotate(image, boxes, float(rng.uniform(0, 360)))
-    return np.ascontiguousarray(image), boxes
+        image, boxes, keep = rotate(image, boxes, float(rng.uniform(0, 360)))
+        if classes is not None:
+            classes = classes[keep]
+    return np.ascontiguousarray(image), boxes, classes

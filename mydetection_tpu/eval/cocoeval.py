@@ -83,34 +83,53 @@ class COCOGt:
             self.anns_by_img_cat[(ann["image_id"], ann["category_id"])].append(ann)
 
 
-def _evaluate_img(dt_rows, gt_anns, *, area_rng, max_det):
-    """Greedy matching for one (image, category, areaRng, maxDet) cell.
+def _prep_img_cat(dt_rows, gt_anns):
+    """One-time arrays + IoU matrix for an (image, category) pair.
 
     dt_rows: list of (score, bbox) already sorted by score desc.
-    Returns None if the cell is empty, else a dict of match arrays.
+    The IoU matrix is area-range independent, so it is computed ONCE
+    here and sliced by every (areaRng, maxDet) cell in `_evaluate_img`
+    — the naive per-cell recompute cost 12x (4 areas x 3 maxDets) of
+    both the IoU and the array construction on full-size datasets.
     """
     if not dt_rows and not gt_anns:
         return None
-    t = len(IOU_THRS)
-    dt_rows = dt_rows[:max_det]
-    d = len(dt_rows)
-
     gt_boxes = np.asarray([g["bbox"] for g in gt_anns], np.float64).reshape(-1, 4)
     gt_crowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gt_anns], bool)
     gt_area = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gt_anns],
                          np.float64)
     gt_ignore_in = np.asarray([bool(g.get("ignore", 0)) for g in gt_anns], bool)
-    gt_ignore = gt_ignore_in | gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-    # sort GTs: non-ignored first (pycocotools matching order)
-    order = np.argsort(gt_ignore, kind="stable")
-    gt_boxes, gt_crowd, gt_ignore = gt_boxes[order], gt_crowd[order], gt_ignore[order]
-    g = len(gt_anns)
-
     dt_scores = np.asarray([r[0] for r in dt_rows], np.float64)
     dt_boxes = np.asarray([r[1] for r in dt_rows], np.float64).reshape(-1, 4)
-    dt_area = dt_boxes[:, 2] * dt_boxes[:, 3]
+    return {
+        "gt_boxes": gt_boxes, "gt_crowd": gt_crowd, "gt_area": gt_area,
+        "gt_ignore_in": gt_ignore_in,
+        "dt_scores": dt_scores,
+        "dt_area": dt_boxes[:, 2] * dt_boxes[:, 3],
+        "ious": box_iou_xywh(dt_boxes, gt_boxes, gt_crowd),  # (D, G)
+    }
 
-    ious = box_iou_xywh(dt_boxes, gt_boxes, gt_crowd)  # (D, G)
+
+def _evaluate_img(prep, *, area_rng, max_det):
+    """Greedy matching for one (image, category, areaRng, maxDet) cell,
+    over arrays precomputed by `_prep_img_cat`."""
+    if prep is None:
+        return None
+    t = len(IOU_THRS)
+    d = min(len(prep["dt_scores"]), max_det)
+
+    gt_ignore = (prep["gt_ignore_in"] | prep["gt_crowd"]
+                 | (prep["gt_area"] < area_rng[0])
+                 | (prep["gt_area"] > area_rng[1]))
+    # sort GTs: non-ignored first (pycocotools matching order)
+    order = np.argsort(gt_ignore, kind="stable")
+    gt_crowd = prep["gt_crowd"][order]
+    gt_ignore = gt_ignore[order]
+    g = len(gt_ignore)
+
+    dt_scores = prep["dt_scores"][:d]
+    dt_area = prep["dt_area"][:d]
+    ious = prep["ious"][:d][:, order]          # (D, G) view for this cell
 
     dtm = np.zeros((t, d), np.int64) - 1       # matched gt index or -1
     gtm = np.zeros((t, g), np.int64) - 1
@@ -175,14 +194,17 @@ class COCOEvaluator:
 
         area_items = list(AREA_RNG.items())
         for ki, cat in enumerate(cat_ids):
+            # arrays + IoU matrices once per (image, cat); every
+            # (areaRng, maxDet) cell below slices them
+            preps = [_prep_img_cat(dts.get((img, cat), []),
+                                   self.gt.anns_by_img_cat.get((img, cat), []))
+                     for img in img_ids]
             for ai, (_, rng) in enumerate(area_items):
                 for mi, max_det in enumerate(MAX_DETS):
                     cells = []
-                    for img in img_ids:
-                        cell = _evaluate_img(
-                            dts.get((img, cat), []),
-                            self.gt.anns_by_img_cat.get((img, cat), []),
-                            area_rng=rng, max_det=max_det)
+                    for prep in preps:
+                        cell = _evaluate_img(prep, area_rng=rng,
+                                             max_det=max_det)
                         if cell is not None:
                             cells.append(cell)
                     if not cells:

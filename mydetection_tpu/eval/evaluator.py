@@ -61,11 +61,12 @@ def evaluate_detector(detector, ann_file: str | dict, img_dir: str, *,
 
     if gt.img_ids and max_images:
         # restrict GT to the evaluated subset so AP is consistent
+        ids_set = set(ids)
         subset = {
             "images": [gt.imgs[i] for i in ids],
             "categories": list(gt.cats.values()),
             "annotations": [a for key, anns in gt.anns_by_img_cat.items()
-                            if key[0] in set(ids) for a in anns],
+                            if key[0] in ids_set for a in anns],
         }
         evaluator = COCOEvaluator(subset)
     else:

@@ -55,7 +55,10 @@ def evaluate_rotated(results: list[dict] | str, gt: dict | str, *,
             continue
         gts_by_img[ann["image_id"]].append(ann["bbox"])
     img_ids = sorted({im["id"] for im in gt.get("images", [])})
-    num_gt = sum(len(v) for v in gts_by_img.values())
+    # count only GTs on evaluated images — annotations referencing
+    # image_ids absent from gt["images"] can never be matched and would
+    # silently deflate recall/AP
+    num_gt = sum(len(gts_by_img.get(i, ())) for i in img_ids)
 
     dets_by_img: dict[int, list] = defaultdict(list)
     for r in results:
@@ -120,8 +123,14 @@ def evaluate_rotated_detector(detector, ann_file: str | dict, img_dir: str, *,
                               batch_size: int = 16,
                               input_size: int | None = None,
                               max_images: int | None = None,
+                              num_threads: int = 4,
+                              results_path: str | None = None,
                               verbose: bool = True) -> dict:
-    """Run a rotated Detector over a fisheye dataset and score it."""
+    """Run a rotated Detector over a fisheye dataset and score it.
+
+    `results_path` dumps the detection rows (cxcywhθ_deg) as JSON —
+    same contract as the axis-aligned evaluator's --out.
+    """
     import os
 
     from mydetection_tpu.data.loader import StreamingPipeline
@@ -139,7 +148,8 @@ def evaluate_rotated_detector(detector, ann_file: str | dict, img_dir: str, *,
 
     results = []
     pos = 0
-    pipe = StreamingPipeline(paths, input_size=size, batch_size=batch_size)
+    pipe = StreamingPipeline(paths, input_size=size, batch_size=batch_size,
+                             num_threads=num_threads)
     for canvases, infos, _ in pipe:
         dets = detector.detect_prepared(canvases, infos,
                                         conf_thres=conf_thres,
@@ -152,7 +162,11 @@ def evaluate_rotated_detector(detector, ann_file: str | dict, img_dir: str, *,
                                 "bbox": [cx, cy, w, h, float(np.degrees(th))],
                                 "score": float(d.scores[k])})
             pos += 1
+    if results_path:
+        with open(results_path, "w") as fh:
+            json.dump(results, fh)
+    ids_set = set(ids)
     sub_gt = {"images": imgs,
               "annotations": [a for a in gt.get("annotations", [])
-                              if a["image_id"] in set(ids)]}
+                              if a["image_id"] in ids_set]}
     return evaluate_rotated(results, sub_gt, verbose=verbose)

@@ -78,6 +78,3 @@ def elementwise_giou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return iou - (hull - union) / jnp.maximum(hull, EPS)
 
 
-def clip_boxes(boxes_xyxy: jnp.ndarray, size: float) -> jnp.ndarray:
-    """Clip xyxy boxes to the [0, size] square."""
-    return jnp.clip(boxes_xyxy, 0.0, size)

@@ -100,23 +100,3 @@ def make_train_step(model: Model, *, input_size: int,
         return new_params, new_velocity, metrics
 
     return step
-
-
-def pad_labels(boxes_list, classes_list, *, max_gt: int = 100):
-    """Host-side: ragged per-image labels → fixed (B, M, …) + mask.
-
-    boxes are (n_i, 4) cxcywh float32 in network coords; classes (n_i,).
-    """
-    import numpy as np
-
-    b = len(boxes_list)
-    out_boxes = np.zeros((b, max_gt, 4), np.float32)
-    out_classes = np.zeros((b, max_gt), np.int32)
-    out_valid = np.zeros((b, max_gt), bool)
-    for i, (bx, cl) in enumerate(zip(boxes_list, classes_list)):
-        n = min(len(bx), max_gt)
-        if n:
-            out_boxes[i, :n] = bx[:n]
-            out_classes[i, :n] = cl[:n]
-            out_valid[i, :n] = True
-    return out_boxes, out_classes, out_valid

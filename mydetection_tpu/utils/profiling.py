@@ -9,9 +9,6 @@ The reference has only ad-hoc FPS prints [recalled]. Ours:
     see bench.py);
   * `annotate` — jax.named_scope passthrough so pipeline stages are
     labeled in profiles;
-  * `StageStats` — host-side streaming-pipeline stats (queue depth,
-    stage times) for proving decode/compute overlap (SURVEY.md §7
-    hard-part #6).
 """
 
 from __future__ import annotations
@@ -79,28 +76,4 @@ class Timer:
                 "mean_ms": round(1000 * total / len(ts), 3),
                 "max_ms": round(1000 * max(ts), 3),
             }
-        return out
-
-
-class StageStats:
-    """Queue-depth / stage-time counters for the streaming pipeline."""
-
-    def __init__(self):
-        self.depth_samples: list[int] = []
-        self.stage_times: dict[str, list[float]] = defaultdict(list)
-
-    def sample_depth(self, depth: int) -> None:
-        self.depth_samples.append(depth)
-
-    def record(self, stage: str, seconds: float) -> None:
-        self.stage_times[stage].append(seconds)
-
-    def summary(self) -> dict:
-        out: dict = {}
-        if self.depth_samples:
-            out["queue_depth_mean"] = round(
-                sum(self.depth_samples) / len(self.depth_samples), 2)
-            out["queue_depth_min"] = min(self.depth_samples)
-        for stage, ts in self.stage_times.items():
-            out[f"{stage}_mean_ms"] = round(1000 * sum(ts) / len(ts), 3)
         return out

@@ -126,3 +126,29 @@ def test_coco_export(detector):
         assert row["image_id"] == 42
         assert len(row["bbox"]) == 4
         assert row["bbox"][2] >= 0 and row["bbox"][3] >= 0
+
+
+def test_checkpoint_preserves_tuples_and_none(tmp_path):
+    """Round-trip structural fidelity: tuple containers stay tuples
+    (an optax-style opt state must tree_map against fresh grads after
+    resume) and None leaves survive instead of vanishing."""
+    from mydetection_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"w": np.ones((2, 2), np.float32), "b": None}
+    opt = (np.zeros(3, np.float32), {"nu": np.ones(3, np.float32),
+                                     "count": np.int32(7)})
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, step=5, opt_state=opt)
+    ck = load_checkpoint(path)
+    assert ck["step"] == 5
+    assert ck["params"]["b"] is None
+    np.testing.assert_array_equal(np.asarray(ck["params"]["w"]), params["w"])
+    assert isinstance(ck["opt"], tuple) and len(ck["opt"]) == 2
+    np.testing.assert_array_equal(np.asarray(ck["opt"][0]), opt[0])
+    assert int(ck["opt"][1]["count"]) == 7
+    # structures must match exactly so tree_map works post-resume
+    import jax
+
+    assert (jax.tree_util.tree_structure(ck["opt"])
+            == jax.tree_util.tree_structure(
+                jax.tree_util.tree_map(lambda x: x, opt)))

@@ -81,13 +81,38 @@ def test_flips_roundtrip():
 def test_rotation_exact_for_rotated_boxes():
     img = np.zeros((100, 100, 3), np.uint8)
     boxes = np.array([[70.0, 50, 20, 10, 0.2]], np.float32)
-    out_img, out = rotate(img, boxes, 90.0)
+    out_img, out, keep = rotate(img, boxes, 90.0)
     # CCW 90°: point (70,50) about center (50,50) -> (50, 30)
     np.testing.assert_allclose(out[0, :2], [50, 30], atol=1e-4)
     # θ decreases by π/2, wrapped into (-π/2, π/2]
     expect = np.mod(0.2 - np.pi / 2 + np.pi / 2, np.pi) - np.pi / 2
     np.testing.assert_allclose(out[0, 4], expect, atol=1e-6)
     assert out_img.shape == img.shape
+    assert keep.all() and len(out) == 1
+
+
+def test_rotation_drops_offcanvas_boxes_with_classes():
+    """Objects whose center rotates off the uncropped canvas are
+    dropped, and parallel class arrays are filtered in lockstep."""
+    from mydetection_tpu.data.transforms import random_augment
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    # corner object: rotating 45° about the center pushes its center
+    # off-canvas; center object survives any rotation
+    boxes = np.array([[97.0, 97, 10, 10, 0.0], [50.0, 50, 10, 10, 0.0]],
+                     np.float32)
+    _, out, keep = rotate(img, boxes, 45.0)
+    assert len(out) == 1 and keep.tolist() == [False, True]
+    np.testing.assert_allclose(out[0, :2], [50, 50], atol=1e-4)
+
+    classes = np.array([3, 7], np.int32)
+    rng = np.random.RandomState(0)
+    for _ in range(20):  # rotation fires with prob 1; angle random
+        _, b, c = random_augment(img, boxes, rng, rotated=True,
+                                 rotate_prob=1.0, classes=classes)
+        assert len(b) == len(c)  # never desynchronized
+        if len(b) == 1:
+            assert c[0] == 7  # the surviving center object's class
 
 
 def test_hsv_jitter_preserves_shape_dtype():
