@@ -155,6 +155,14 @@ class Detector:
             if name.startswith("retinanet"):
                 return jax.device_put(wi.import_retinanet_state_dict(init, state))
             if name.startswith("fcos"):
+                if self.cfg.ltrb_decode != "linear":
+                    raise ValueError(
+                        "torchvision FCOS checkpoints regress relu-linear "
+                        "ltrb (not the paper's exp decode this framework "
+                        "trains with) — construct the detector with "
+                        "Detector(model_name='fcos', ltrb_decode='linear', "
+                        "weights_path=...) so imported boxes decode "
+                        "correctly")
                 return jax.device_put(wi.import_fcos_state_dict(init, state))
             raise ValueError(
                 f"no torch-checkpoint importer for model '{name}'; use "
@@ -272,6 +280,9 @@ class Detector:
         """Detect objects on a single image (reference `detect_one`)."""
         img = _load_image(img_path, pil_img, np_img)
         size = input_size or self.cfg.input_size
+        if input_size:
+            from mydetection_tpu.registry import check_input_size
+            check_input_size(size)
         conf = conf_thres if conf_thres is not None else self.cfg.conf_thres
         iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
         canvas, info = letterbox_pil(img, size)
@@ -296,6 +307,9 @@ class Detector:
         throughput use `mydetection_tpu.data.loader.StreamingPipeline`.
         """
         size = input_size or self.cfg.input_size
+        if input_size:
+            from mydetection_tpu.registry import check_input_size
+            check_input_size(size)
         conf = conf_thres if conf_thres is not None else self.cfg.conf_thres
         iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
         canvases, infos = [], []

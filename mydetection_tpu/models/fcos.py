@@ -113,12 +113,24 @@ def _head_conv(p: Params, x, *, compute_dtype):
 
 
 def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
-          num_classes: int = 80, compute_dtype=None):
+          num_classes: int = 80, compute_dtype=None,
+          ltrb_decode: str = "exp"):
     """[P3..P7] → (cls (B,N,C), ltrb (B,N,4) px, ctr (B,N)), f32.
 
-    ltrb is already decoded to pixel distances: exp(s_l * raw) * stride
-    keeps regression positive and level-scaled.
+    ltrb is already decoded to pixel distances. Two conventions exist:
+      * "exp"    — the FCOS PAPER (and the reference's idiom): exp(s_l ·
+        raw) · stride with learnable per-level scales s_l. Default; use
+        for models trained with THIS framework.
+      * "linear" — TORCHVISION's FCOS: relu(raw) · stride (its
+        regression head applies F.relu and BoxLinearCoder multiplies by
+        the per-level anchor size = stride; no learnable scales).
+        REQUIRED when importing torchvision checkpoints — the exp
+        decode turns a trained raw value of 2.0 at P3 into e²·8≈59 px
+        instead of 16 px and mAP collapses.
     """
+    if ltrb_decode not in ("exp", "linear"):
+        raise ValueError(f"ltrb_decode must be 'exp' or 'linear', got "
+                         f"{ltrb_decode!r}")
     cls_f, box_f, ctr_f = [], [], []
     for li, feat in enumerate(pyramid):
         b, h, w, _ = feat.shape
@@ -127,8 +139,12 @@ def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
         cls = _head_conv(params["cls_out"], ct, compute_dtype=compute_dtype)
         raw_box = _head_conv(params["box_out"], bt, compute_dtype=compute_dtype)
         ctr = _head_conv(params["ctr_out"], bt, compute_dtype=compute_dtype)
-        scale = params["scales"][li]
-        ltrb = jnp.exp(jnp.clip(raw_box.astype(jnp.float32) * scale, -10, 10))
+        if ltrb_decode == "exp":
+            scale = params["scales"][li]
+            ltrb = jnp.exp(jnp.clip(raw_box.astype(jnp.float32) * scale,
+                                    -10, 10))
+        else:
+            ltrb = jnp.maximum(raw_box.astype(jnp.float32), 0.0)
         ltrb = ltrb * float(STRIDES[li])
         cls_f.append(cls.astype(jnp.float32).reshape(b, h * w, num_classes))
         box_f.append(ltrb.reshape(b, h * w, 4))

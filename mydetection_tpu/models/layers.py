@@ -129,9 +129,17 @@ def batch_norm(x: jnp.ndarray, bn: Params, *, train: bool = False,
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axis=axes)
         var = jnp.var(xf, axis=axes)
+        # torch parity: batch NORMALIZATION uses the biased variance,
+        # but the RUNNING average accumulates the unbiased (n/(n-1))
+        # estimate — a biased running var drifts low on small spatial
+        # batches and diverges from a torch-trained twin at inference
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": momentum * bn["mean"] + (1 - momentum) * mean,
-            "var": momentum * bn["var"] + (1 - momentum) * var,
+            "var": momentum * bn["var"] + (1 - momentum) * unbiased,
         }
     else:
         mean, var = bn["mean"], bn["var"]

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from mydetection_tpu.losses import bce_with_logits, period_l1
-from mydetection_tpu.models.yolov3 import TWH_CLAMP
 from mydetection_tpu.ops.boxes import pairwise_iou
 
 # Person anchors (w, h) in input pixels per level, P5/P4/P3 order.
@@ -135,17 +134,24 @@ def loss(raw_outputs: Sequence[jnp.ndarray], gt_boxes5: jnp.ndarray,
         t_wh = jnp.log(jnp.maximum(gt_boxes5[..., 2:4] / anc[best_sub], 1e-9))
         w_box = 2.0 - (gt_boxes5[..., 2] * gt_boxes5[..., 3]) / float(input_size) ** 2
 
-        def scatter(vals, tail):
-            out = jnp.zeros((bb, n + 1) + tail, jnp.float32)
-            bidx = jnp.arange(bb)[:, None].repeat(m, 1)
-            return out.at[bidx, flat_idx].set(vals)[:, :n]
-
-        conf_tgt = scatter(jnp.ones((bb, m)), ())
+        # single combined scatter so a duplicate cell+anchor collision
+        # resolves to ONE GT for every channel (see yolov3.loss)
+        packed = jnp.concatenate([
+            jnp.ones((bb, m, 1), jnp.float32),               # conf
+            t_xy,                                            # 2
+            t_wh,                                            # 2
+            gt_boxes5[..., 4:5],                             # θ
+            w_box[..., None],                                # 1
+        ], axis=-1)
+        out = jnp.zeros((bb, n + 1, packed.shape[-1]), jnp.float32)
+        bidx = jnp.arange(bb)[:, None].repeat(m, 1)
+        packed = out.at[bidx, flat_idx].set(packed)[:, :n]
+        conf_tgt = packed[..., 0]
         assigned = conf_tgt > 0
-        xy_tgt = scatter(t_xy, (2,))
-        wh_tgt = scatter(t_wh, (2,))
-        th_tgt = scatter(gt_boxes5[..., 4], ())
-        wbox = scatter(w_box, ())
+        xy_tgt = packed[..., 1:3]
+        wh_tgt = packed[..., 3:5]
+        th_tgt = packed[..., 5]
+        wbox = packed[..., 6]
 
         flat_raw = raw.reshape(bb, n, CHANNELS_PER_ANCHOR)
         ignore = jax.lax.dynamic_slice_in_dim(ignore_flat, offset, n, axis=1)

@@ -39,6 +39,7 @@ from mydetection_tpu.models.layers import (
     conv_init,
     upsample2x,
 )
+from mydetection_tpu.losses import bce_with_logits as _bce
 from mydetection_tpu.ops.boxes import cxcywh_to_xyxy, pairwise_iou
 
 # Canonical YOLOv3 COCO anchors (w, h) in input pixels, paper order.
@@ -264,11 +265,6 @@ def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
 # loss (vectorized target assignment; labels padded to MAX_GT)
 # ---------------------------------------------------------------------------
 
-def _bce(logits, targets):
-    """Numerically-stable sigmoid BCE (elementwise)."""
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-
-
 def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
          gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray, gt_valid: jnp.ndarray,
          *, input_size: int, num_classes: int = 80) -> dict:
@@ -339,18 +335,28 @@ def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
         t_wh = jnp.log(jnp.maximum(gt_boxes[..., 2:4] / sub_anc, 1e-9))
         w_box = 2.0 - (gt_boxes[..., 2] * gt_boxes[..., 3]) / float(input_size) ** 2
 
-        def scatter(vals, shape_tail):
-            """Scatter per-GT values into the flat (N+1, ...) grid."""
-            out = jnp.zeros((bb, n + 1) + shape_tail, jnp.float32)
-            bidx = jnp.arange(bb)[:, None].repeat(m, 1)
-            return out.at[bidx, flat_idx].set(vals)[:, :n]
-
-        obj_tgt = scatter(jnp.ones((bb, m)), ())
+        # ONE scatter for every target channel: with separate scatters,
+        # two GTs colliding on the same cell+anchor could resolve their
+        # duplicate index differently per op (JAX scatter duplicate
+        # order is implementation-defined), mixing xy from one GT with
+        # wh/cls from another. A single combined write makes whichever
+        # GT wins win for ALL channels.
+        packed = jnp.concatenate([
+            jnp.ones((bb, m, 1), jnp.float32),               # obj
+            t_xy,                                            # 2
+            t_wh,                                            # 2
+            w_box[..., None],                                # 1
+            jax.nn.one_hot(gt_classes, num_classes),         # C
+        ], axis=-1)
+        out = jnp.zeros((bb, n + 1, packed.shape[-1]), jnp.float32)
+        bidx = jnp.arange(bb)[:, None].repeat(m, 1)
+        packed = out.at[bidx, flat_idx].set(packed)[:, :n]
+        obj_tgt = packed[..., 0]
         assigned = obj_tgt > 0                               # (B, N)
-        xy_tgt = scatter(t_xy, (2,))
-        wh_tgt = scatter(t_wh, (2,))
-        wbox = scatter(w_box, ())
-        cls_tgt = scatter(jax.nn.one_hot(gt_classes, num_classes), (num_classes,))
+        xy_tgt = packed[..., 1:3]
+        wh_tgt = packed[..., 3:5]
+        wbox = packed[..., 5]
+        cls_tgt = packed[..., 6:]
 
         flat_raw = raw.reshape(bb, n, 5 + num_classes)
         ignore = jax.lax.dynamic_slice_in_dim(ignore_flat, offset, n, axis=1)

@@ -126,12 +126,13 @@ void resize_rgb(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
 }
 
 // Letterbox an RGB buffer into the square canvas; geom = {ratio, pad_x,
-// pad_y, ori_w, ori_h}.
-void letterbox_into(const uint8_t* rgb, int h, int w, double pre_ratio,
-                    int input_size, uint8_t* canvas, float* geom) {
-    // `pre_ratio` accounts for DCT prescale: original dims = w/pre, h/pre.
-    const double ori_w = w / pre_ratio;
-    const double ori_h = h / pre_ratio;
+// pad_y, ori_w, ori_h}. `ori_w`/`ori_h` are the TRUE pre-prescale image
+// dims (a single width-derived ratio reconstructed ori_h wrongly by up
+// to denom-1 rows when height % DCT-prescale-denominator != 0, skewing
+// the inverse box mapping by several px on tall images).
+void letterbox_into(const uint8_t* rgb, int h, int w, double ori_w,
+                    double ori_h, int input_size, uint8_t* canvas,
+                    float* geom) {
     const double ratio = input_size / std::max(ori_w, ori_h);
     // nearbyint: round-half-even, matching Python round() in image_ops
     int new_w = std::max(1, static_cast<int>(std::nearbyint(ori_w * ratio)));
@@ -200,15 +201,16 @@ int decode_letterbox_jpeg(const uint8_t* data, size_t len, int input_size,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
 
-    const double pre_ratio = static_cast<double>(w) / ow;  // <= 1
-    letterbox_into(rgb.data(), h, w, pre_ratio, input_size, canvas, geom);
+    letterbox_into(rgb.data(), h, w, static_cast<double>(ow),
+                   static_cast<double>(oh), input_size, canvas, geom);
     return 0;
 }
 
 // Letterbox an already-decoded HWC RGB u8 buffer.
 int letterbox_rgb(const uint8_t* rgb, int h, int w, int input_size,
                   uint8_t* canvas, float* geom) {
-    letterbox_into(rgb, h, w, 1.0, input_size, canvas, geom);
+    letterbox_into(rgb, h, w, static_cast<double>(w),
+                   static_cast<double>(h), input_size, canvas, geom);
     return 0;
 }
 

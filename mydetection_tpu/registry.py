@@ -41,6 +41,12 @@ class ModelConfig:
     multi_label: bool = True
     compute_dtype: Any = jnp.bfloat16  # conv compute; decode is always f32
     class_names: tuple[str, ...] | None = None
+    # FCOS ltrb regression decode: "exp" = the FCOS paper (exp with
+    # learnable per-level scales; the reference's idiom, and what THIS
+    # framework trains). "linear" = torchvision's relu(raw)·stride —
+    # REQUIRED when importing torchvision fcos checkpoints (see
+    # models/fcos.apply).
+    ltrb_decode: str = "exp"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,7 +89,24 @@ def get_model(name: str, **overrides) -> Model:
     if name not in _REGISTRY:
         raise KeyError(f"unknown model '{name}'; available: {list_models()}")
     cfg = dataclasses.replace(_CONFIGS[name], **overrides)
+    check_input_size(cfg.input_size)
     return _REGISTRY[name](cfg)
+
+
+def check_input_size(size: int) -> None:
+    """Reject sizes the feature pyramids can't tile.
+
+    Every model downsamples by 32 and re-merges levels with exact 2x
+    upsampling (yolov3 neck concat, FPN top-down add); a non-multiple
+    of 32 fails deep inside jit with an opaque XLA concatenate/add
+    shape error (e.g. 500 → C3=63 vs upsample2x(C4)=64). Fail HERE
+    with a readable message instead.
+    """
+    if size % 32 != 0:
+        raise ValueError(
+            f"input_size must be a multiple of 32, got {size} (the "
+            "backbone downsamples by 32 and the neck/FPN re-merges "
+            "levels with exact 2x upsampling)")
 
 
 def fast_init(model: "Model", rng: jax.Array):
@@ -306,7 +329,8 @@ def _build_fcos(cfg: ModelConfig) -> Model:
                                  train=train, compute_dtype=cfg.compute_dtype)
         pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)
         cls_logits, ltrb, ctr = fcos.apply(params["head"], pyr, num_classes=nc,
-                                           compute_dtype=cfg.compute_dtype)
+                                           compute_dtype=cfg.compute_dtype,
+                                           ltrb_decode=cfg.ltrb_decode)
         return cls_logits, ltrb, ctr, ({"backbone": bu} if train else None)
 
     def forward_dense(params, images, *, train: bool = False):

@@ -102,9 +102,14 @@ def test_weights_path_format_dispatch(tmp_path, detector):
     pt_path = str(tmp_path / "fcos.pt")
     torch.save({"model": {k: torch.tensor(v) for k, v in state.items()}},
                pt_path)
+    # torchvision FCOS checkpoints demand the linear ltrb decode
+    with pytest.raises(ValueError, match="ltrb_decode"):
+        Detector(model_name="fcos", input_size=128, num_classes=3,
+                 compute_dtype=jnp.float32, use_pallas=False,
+                 weights_path=pt_path)
     det_pt = Detector(model_name="fcos", input_size=128, num_classes=3,
                       compute_dtype=jnp.float32, use_pallas=False,
-                      weights_path=pt_path)
+                      ltrb_decode="linear", weights_path=pt_path)
     got = np.asarray(
         jax.tree_util.tree_leaves(det_pt.params)[0])
     assert np.isfinite(got).all()

@@ -59,6 +59,24 @@ def test_dct_prescale_consistent():
     assert np.abs(canvas.astype(int) - c_pil.astype(int)).mean() < 6
 
 
+def test_dct_prescale_odd_dims_exact_geometry():
+    """Dims NOT divisible by the DCT prescale denominator: the reported
+    ori_w/ori_h must be the true header dims, not reconstructed from a
+    single width-derived ratio (which skewed ori_h by up to denom-1
+    rows and the inverse box mapping by several px on tall images)."""
+    rng = np.random.RandomState(3)
+    h, w = 1201, 1603  # neither divisible by denom=8
+    img = rng.randint(0, 255, (h, w, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    canvas, info = native.decode_letterbox_jpeg(buf.getvalue(), 128)
+    assert (info.ori_w, info.ori_h) == (w, h)
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    _, i_pil = letterbox_np(pil, 128)
+    assert info.ratio == pytest.approx(i_pil.ratio, rel=1e-6)
+    assert (info.pad_x, info.pad_y) == (i_pil.pad_x, i_pil.pad_y)
+
+
 def test_invalid_jpeg_raises():
     with pytest.raises(ValueError):
         native.decode_letterbox_jpeg(b"not a jpeg at all", 64)

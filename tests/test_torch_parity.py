@@ -377,7 +377,11 @@ def test_fcos_full_import_matches_torch():
     def fwd(p, v):
         feats, _ = resnet.apply(p["backbone"], v, depth=50)
         pyr = fpn_mod.apply(p["fpn"], feats)
-        return fcos_mod.apply(p["head"], pyr, num_classes=nc)
+        # torchvision-imported weights decode relu-linear (see
+        # fcos.apply docstring) — using the paper's exp decode here
+        # would make this parity test circular AND wrong
+        return fcos_mod.apply(p["head"], pyr, num_classes=nc,
+                              ltrb_decode="linear")
 
     cls_logits, ltrb, ctr_logits = jax.jit(fwd)(params, jnp.asarray(x))
 
@@ -394,9 +398,11 @@ def test_fcos_full_import_matches_torch():
         cn = _torch_final(state, "head.regression_head.bbox_ctrness", bt)
         B, _, H, W = cl.shape
         ref_cls.append(cl.permute(0, 2, 3, 1).reshape(B, H * W, nc).numpy())
-        # ours decodes ltrb in-apply: exp(raw * scale(=1 at init)) * stride
+        # torchvision decode: F.relu on the regression output, then
+        # BoxLinearCoder(normalize_by_size) multiplies by the per-level
+        # anchor size, which equals the stride (sizes (8,16,...,128))
         raw = bx.permute(0, 2, 3, 1).reshape(B, H * W, 4).numpy()
-        ref_box.append(np.exp(np.clip(raw, -10, 10)) * fcos_mod.STRIDES[li])
+        ref_box.append(np.maximum(raw, 0.0) * fcos_mod.STRIDES[li])
         ref_ctr.append(cn.permute(0, 2, 3, 1).reshape(B, H * W).numpy())
     _rel_close(np.asarray(cls_logits), np.concatenate(ref_cls, 1), 3e-4)
     _rel_close(np.asarray(ctr_logits), np.concatenate(ref_ctr, 1), 3e-4)
