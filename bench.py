@@ -106,8 +106,38 @@ def main(batch: int = 32, iters: int = 6, input_size: int = 416,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }), flush=True)
+
+
+def _family_lines() -> None:
+    """One JSON line per non-flagship family (retinanet@608, fcos@608,
+    rapid@1024) so BENCH_r*.json tracks regressions on every hot path,
+    not just yolov3 (VERDICT r2 #8). TPU-only (CPU would take hours);
+    each family is individually guarded so a failure can't block the
+    flagship line. Printed BEFORE the flagship line — the driver parses
+    the LAST line as the headline metric."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    import traceback
+
+    from benchmarks.device_bench import bench_model
+
+    for name, size in (("retinanet", 608), ("fcos", 608), ("rapid", 1024)):
+        try:
+            row = bench_model(name, input_size=size, batch=32, iters=4)
+            print(json.dumps({
+                "metric": (f"{name}-{size} detect images/sec/chip "
+                           f"@ batch 32 ({row['backend']})"),
+                "value": row["images_per_sec_per_chip"],
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+            }), flush=True)
+        except Exception:
+            traceback.print_exc()
 
 
 if __name__ == "__main__":
+    _family_lines()
     main()

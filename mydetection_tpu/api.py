@@ -48,12 +48,15 @@ class Detections:
                 models, else None.
     scores:     (K,) float32, descending.
     classes:    (K,) int32 contiguous class ids.
+    visualized: uint8 RGB render of the detections over the original
+                image; populated only by `detect_one(visualize=True)`.
     """
 
     boxes_xyxy: np.ndarray
     scores: np.ndarray
     classes: np.ndarray
     boxes_rot: np.ndarray | None = None
+    visualized: np.ndarray | None = None
 
     def __len__(self) -> int:
         return int(self.scores.shape[0])
@@ -139,6 +142,15 @@ class Detector:
         """
         lower = path.lower()
         if lower.endswith(".weights"):
+            if self.cfg.family not in ("yolov3", "rapid"):
+                # mirror the readable .pt guard: a darknet binary fed to
+                # a ResNet-family model otherwise dies deep inside the
+                # importer with an opaque shape error
+                raise ValueError(
+                    f"darknet .weights files hold Darknet-53-family "
+                    f"parameters (yolov3/rapid), not '{self.cfg.name}' — "
+                    "use an .npz checkpoint or a torch .pt with the "
+                    "matching importer")
             from mydetection_tpu.weight_import import load_darknet_weights
 
             init = fast_init(self.model, jax.random.PRNGKey(rng_seed))
@@ -168,7 +180,15 @@ class Detector:
                 f"no torch-checkpoint importer for model '{name}'; use "
                 "weight_import.import_state_dict with an explicit name "
                 "mapping, or convert to .npz via checkpoint.save_checkpoint")
-        return ckpt_lib.load_params(path)
+        params = ckpt_lib.load_params(path)
+        # geometry gate: a checkpoint saved before a model change must
+        # fail HERE with a migration hint, not as an opaque XLA shape
+        # error (or a silent half-stride decode) at first forward.
+        # eval_shape traces init abstractly — no device compute.
+        expected = jax.eval_shape(self.model.init, jax.random.PRNGKey(0))
+        ckpt_lib.check_params_compatible(expected, params,
+                                         context=f" '{self.cfg.name}'")
+        return params
 
     def _place_batch(self, canvases):
         """Device placement for an incoming uint8 batch. When
@@ -295,7 +315,7 @@ class Detector:
             if save_path:
                 Image.fromarray(vis).save(save_path)
             if visualize:
-                dets.visualized = vis  # type: ignore[attr-defined]
+                dets.visualized = vis
         return dets
 
     def detect_batch(self, images: Iterable, *, conf_thres: float | None = None,

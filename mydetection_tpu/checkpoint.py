@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 SEP = "/"
+# bumped whenever saved-tree semantics change; load_checkpoint exposes it
+# so callers can give migration hints on geometry-incompatible trees
+FORMAT_VERSION = 2
 
 
 def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -24,10 +27,20 @@ def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     lists keep their container type (`#t<i>` / `#l<i>` path segments)
     and None leaves survive as a marker entry — silently dropping them
     would make a resumed optimizer state structurally different from
-    the saved one (tree_map raises on the mismatch)."""
+    the saved one (tree_map raises on the mismatch).
+
+    Dict keys starting with '#' or equal to '__none__' are RESERVED for
+    those markers and rejected loudly — a silent collision would make
+    unflatten_tree rebuild the wrong container type.
+    """
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if k.startswith("#") or k == "__none__":
+                raise ValueError(
+                    f"dict key {k!r} collides with flatten_tree's "
+                    "reserved markers ('#…' container indices, "
+                    "'__none__' None leaves) — rename the key")
             out.update(flatten_tree(v, f"{prefix}{k}{SEP}"))
     elif isinstance(tree, (list, tuple)):
         tag = "#t" if isinstance(tree, tuple) else "#l"
@@ -76,6 +89,7 @@ def save_checkpoint(path: str, params: Any, *, step: int | None = None,
         flat.update({f"opt{SEP}{k}": v for k, v in flatten_tree(opt_state).items()})
     if step is not None:
         flat["__step__"] = np.asarray(step)
+    flat["__format_version__"] = np.asarray(FORMAT_VERSION)
     for k, v in (extra or {}).items():
         flat[f"extra{SEP}{k}"] = np.asarray(v)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -86,7 +100,16 @@ def save_checkpoint(path: str, params: Any, *, step: int | None = None,
 
 
 def load_checkpoint(path: str) -> dict:
-    """Returns {'params': tree, 'opt': tree|None, 'step': int|None, 'extra': dict}."""
+    """Returns {'params': tree, 'opt': tree|None, 'step': int|None,
+    'extra': dict, 'format_version': int}.
+
+    Legacy note: checkpoints written before the container markers
+    (format_version < 2) stored sequence indices as bare '#<i>' path
+    segments with no tuple/list tag; those always rebuild as LISTS. A
+    pre-change optimizer state that contained tuples therefore resumes
+    with a container-type mismatch (tree_map structure error) — rebuild
+    such checkpoints by re-saving, or retrain from the params alone.
+    """
     with np.load(path, allow_pickle=False) as zf:
         flat = {k: zf[k] for k in zf.files}
     params_flat = {k[len("params" + SEP):]: v for k, v in flat.items()
@@ -100,6 +123,8 @@ def load_checkpoint(path: str) -> dict:
         "opt": unflatten_tree(opt_flat) if opt_flat else None,
         "step": int(flat["__step__"]) if "__step__" in flat else None,
         "extra": extra,
+        "format_version": (int(flat["__format_version__"])
+                           if "__format_version__" in flat else 1),
     }
 
 
@@ -109,3 +134,53 @@ def load_params(path: str) -> Any:
     if ckpt["params"] is None:
         raise ValueError(f"checkpoint {path} has no params")
     return ckpt["params"]
+
+
+def check_params_compatible(expected: Any, loaded: Any, *,
+                            context: str = "") -> None:
+    """Raise a readable error when a loaded param tree doesn't fit the
+    model that will consume it.
+
+    Model-geometry changes (e.g. the FPN P6 input moving 2048→256
+    channels) silently orphan old checkpoints; without this check the
+    mismatch surfaces as an opaque XLA shape error at first forward —
+    or worse, decodes wrongly. `expected` may hold arrays or
+    jax.eval_shape ShapeDtypeStructs (only .shape is compared).
+    """
+    exp_flat = {k: np.asarray(getattr(v, "shape", v))
+                for k, v in _shape_paths(expected).items()}
+    got_flat = {k: np.asarray(getattr(v, "shape", v))
+                for k, v in _shape_paths(loaded).items()}
+    missing = sorted(set(exp_flat) - set(got_flat))
+    unexpected = sorted(set(got_flat) - set(exp_flat))
+    mismatched = sorted(
+        k for k in set(exp_flat) & set(got_flat)
+        if tuple(exp_flat[k]) != tuple(got_flat[k]))
+    if missing or unexpected or mismatched:
+        lines = [f"checkpoint is incompatible with the model{context}:"]
+        for k in mismatched[:8]:
+            lines.append(f"  shape mismatch {k}: checkpoint "
+                         f"{tuple(got_flat[k])} vs model {tuple(exp_flat[k])}")
+        if missing:
+            lines.append(f"  missing from checkpoint: {missing[:6]}")
+        if unexpected:
+            lines.append(f"  not in model: {unexpected[:6]}")
+        lines.append(
+            "  (likely a checkpoint saved before a model-geometry "
+            "change — re-import the source weights or retrain; see "
+            "load_checkpoint's format_version)")
+        raise ValueError("\n".join(lines))
+
+
+def _shape_paths(tree: Any, prefix: str = "") -> dict[str, Any]:
+    """{path: leaf} over dict/list/tuple containers, shape-bearing leaves."""
+    out: dict[str, Any] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_shape_paths(v, f"{prefix}{k}{SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_shape_paths(v, f"{prefix}{i}{SEP}"))
+    elif tree is not None:
+        out[prefix[:-1]] = tree
+    return out

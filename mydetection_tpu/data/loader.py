@@ -242,6 +242,14 @@ class TrainLoader:
 
         rng = np.random.RandomState(self.seed + epoch_idx)
         order = rng.permutation(len(self.ds))
+        # every index is visited every epoch: the tail `len % batch`
+        # images form a final batch padded (to the static batch shape)
+        # by cycling the permutation from its start — real images with
+        # real labels, never silently dropped (len(ds) >= batch assumed
+        # harmless: duplicates within one batch are still valid samples)
+        pad = (-len(order)) % self.batch_size
+        if pad:
+            order = np.concatenate([order, order[:pad]])
         nb = len(order) // self.batch_size
         sizes = []
         size = self.sizes[0]

@@ -111,8 +111,16 @@ def random_augment(image: np.ndarray, boxes: np.ndarray,
     """The reference's default train-time pipeline.
 
     Returns (image, boxes, classes); `classes` (when given) is filtered
-    in lockstep with boxes that rotation drops off-canvas.
+    in lockstep with boxes that rotation drops off-canvas. Because
+    rotation can DROP boxes, `classes` is required when rotate_prob > 0
+    — a caller keeping a separate parallel array would otherwise
+    silently desync from the returned boxes.
     """
+    if rotate_prob > 0 and classes is None:
+        raise ValueError(
+            "random_augment(rotate_prob>0) requires `classes`: rotation "
+            "drops off-canvas boxes, so any parallel per-box array must "
+            "be filtered in lockstep (pass classes, even if synthetic)")
     image = hsv_jitter(image, rng)
     if rng.rand() < 0.5:
         image, boxes = hflip(image, boxes)

@@ -238,7 +238,8 @@ def _get(state: dict, *candidates: str) -> np.ndarray:
     raise KeyError(f"none of {candidates} in state dict")
 
 
-def _put_conv(node: Params, state: dict, *weight_keys: str) -> None:
+def _put_conv(node: Params, state: dict, *weight_keys: str,
+              allow_missing_bias: bool = False) -> None:
     w = import_torch_conv(_get(state, *weight_keys))
     if w.shape != node["w"].shape:
         # catch class-count / channel mismatches HERE with a readable
@@ -253,8 +254,15 @@ def _put_conv(node: Params, state: dict, *weight_keys: str) -> None:
         node["b"] = _get(state, *(k.replace(".weight", ".bias")
                                   for k in weight_keys))
     except KeyError:
-        # bias-less torch conv (e.g. FCOS tower Conv2dNormActivation
-        # with GroupNorm sets bias=False): our conv keeps a zero bias.
+        if not allow_missing_bias:
+            # loud by default: a missing bias on a layer that should
+            # have one means the key candidates are wrong (renamed
+            # upstream), not that the conv is bias-less — zero-filling
+            # would import subtly wrong weights.
+            raise
+        # genuinely bias-less torch conv (e.g. FCOS tower
+        # Conv2dNormActivation with GroupNorm sets bias=False): our
+        # conv keeps a zero bias.
         node["b"] = np.zeros(node["w"].shape[-1], np.float32)
 
 
@@ -307,9 +315,13 @@ def import_retinanet_state_dict(params: Params, state: dict) -> Params:
                     ("box", "regression_head")):
         sub = out["head"][our]
         for i in range(4):
+            # the `.0.weight` spelling is torchvision v2's
+            # Conv2dNormActivation (bias=False under the norm); the
+            # `.{2i}.weight` spelling is the classic biased conv
             _put_conv(sub[f"conv{i}"], state,
                       f"head.{tv}.conv.{i}.0.weight",
-                      f"head.{tv}.conv.{2 * i}.weight")
+                      f"head.{tv}.conv.{2 * i}.weight",
+                      allow_missing_bias=True)
         final = "cls_logits" if our == "cls" else "bbox_reg"
         _put_conv(sub["out"], state, f"head.{tv}.{final}.weight")
     return out
@@ -335,8 +347,10 @@ def import_fcos_state_dict(params: Params, state: dict) -> Params:
                           ("box_tower", "regression_head")):
         tower = head[tower_key]
         for i in range(4):
+            # FCOS tower Conv2dNormActivation sets bias=False (GN follows)
             _put_conv(tower[f"conv{i}"], state,
-                      f"head.{tv}.conv.{i}.0.weight")
+                      f"head.{tv}.conv.{i}.0.weight",
+                      allow_missing_bias=True)
             tower[f"gn{i}"]["scale"] = state[f"head.{tv}.conv.{i}.1.weight"]
             tower[f"gn{i}"]["bias"] = state[f"head.{tv}.conv.{i}.1.bias"]
     _put_conv(head["cls_out"], state,

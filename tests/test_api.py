@@ -157,3 +157,65 @@ def test_checkpoint_preserves_tuples_and_none(tmp_path):
     assert (jax.tree_util.tree_structure(ck["opt"])
             == jax.tree_util.tree_structure(
                 jax.tree_util.tree_map(lambda x: x, opt)))
+    # new checkpoints carry a format version for migration messages
+    from mydetection_tpu.checkpoint import FORMAT_VERSION
+
+    assert ck["format_version"] == FORMAT_VERSION
+
+
+def test_checkpoint_reserved_key_guard(tmp_path):
+    """Dict keys colliding with the container/None markers are rejected
+    loudly instead of being misinterpreted on load (ADVICE r2)."""
+    from mydetection_tpu.checkpoint import flatten_tree
+
+    with pytest.raises(ValueError, match="reserved"):
+        flatten_tree({"#0": np.ones(2, np.float32)})
+    with pytest.raises(ValueError, match="reserved"):
+        flatten_tree({"a": {"__none__": np.ones(2, np.float32)}})
+
+
+def test_npz_geometry_gate(tmp_path):
+    """A checkpoint saved for a different model geometry must fail at
+    load with a readable migration hint, not as an opaque XLA shape
+    error at first forward (ADVICE r2: pre-change FPN checkpoints)."""
+    det3 = Detector(model_name="fcos", input_size=128, num_classes=3,
+                    compute_dtype=jnp.float32, use_pallas=False)
+    path = str(tmp_path / "c3.npz")
+    save_checkpoint(path, det3.params)
+    # same family, different class count → head shapes differ
+    with pytest.raises(ValueError, match="shape mismatch"):
+        Detector(model_name="fcos", input_size=128, num_classes=5,
+                 compute_dtype=jnp.float32, use_pallas=False,
+                 weights_path=path)
+    # a matching checkpoint still loads through the gate
+    ok = Detector(model_name="fcos", input_size=128, num_classes=3,
+                  compute_dtype=jnp.float32, use_pallas=False,
+                  weights_path=path)
+    assert ok.params is not None
+
+
+def test_darknet_weights_rejected_for_resnet_family(tmp_path, detector):
+    """.weights (darknet binary) into a ResNet-family model fails with a
+    readable family message, mirroring the .pt guard (ADVICE r2)."""
+    from mydetection_tpu.weight_import import save_darknet_weights
+
+    wpath = str(tmp_path / "d.weights")
+    save_darknet_weights(detector.params, wpath)
+    with pytest.raises(ValueError, match="yolov3/rapid"):
+        Detector(model_name="retinanet", input_size=128,
+                 compute_dtype=jnp.float32, use_pallas=False,
+                 weights_path=wpath)
+
+
+def test_detect_one_visualize_field(detector):
+    """`visualized` is a declared Detections field (no setattr bolt-on)."""
+    import dataclasses
+
+    assert "visualized" in {f.name for f in dataclasses.fields(
+        __import__("mydetection_tpu.api", fromlist=["Detections"]).Detections)}
+    img = np.random.RandomState(5).randint(0, 255, (96, 128, 3), np.uint8)
+    dets = detector.detect_one(np_img=img, conf_thres=0.3, visualize=True)
+    assert dets.visualized is not None
+    assert dets.visualized.shape == img.shape
+    dets2 = detector.detect_one(np_img=img, conf_thres=0.3)
+    assert dets2.visualized is None

@@ -201,6 +201,44 @@ def test_train_loader_rotated_applies_rotation(coco_dir):
     assert (np.abs(th_on) > 1e-3).any()
 
 
+def test_train_loader_visits_every_index(coco_dir):
+    """The tail `len(ds) % batch` images are not silently dropped: the
+    final batch is padded by cycling the permutation (VERDICT r2 #6)."""
+    ds = CocoDataset(str(coco_dir / "ann.json"), str(coco_dir))
+    assert len(ds) == 6
+    loader = TrainLoader(ds, batch_size=4, sizes=[64], max_gt=10,
+                         num_threads=2, augment=False, seed=1,
+                         device_put=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # ceil(6/4), not floor
+    # recover visited dataset indices by matching letterboxed images
+    canon = {}
+    from mydetection_tpu.utils.image_ops import letterbox_np
+    for i in range(len(ds)):
+        canvas, _ = letterbox_np(ds[i]["image"], 64)
+        canon[canvas.tobytes()] = i
+    visited = [canon[img.tobytes()]
+               for imgs, *_ in batches for img in imgs]
+    assert set(visited) == set(range(6))  # every index every epoch
+    assert len(visited) == 8  # 2 static-shape batches of 4
+
+
+def test_random_augment_requires_classes_when_rotating():
+    """rotate_prob>0 without classes is a silent-desync hazard for
+    callers holding parallel arrays — rejected loudly (ADVICE r2)."""
+    from mydetection_tpu.data.transforms import random_augment
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    boxes = np.array([[16.0, 16, 8, 8, 0.0]], np.float32)
+    with pytest.raises(ValueError, match="classes"):
+        random_augment(img, boxes, np.random.RandomState(0),
+                       rotated=True, rotate_prob=1.0, classes=None)
+    # rotate_prob == 0 keeps the classes-free call path working
+    _, b, c = random_augment(img, boxes, np.random.RandomState(0),
+                             rotated=True, rotate_prob=0.0, classes=None)
+    assert c is None and len(b) == 1
+
+
 def test_letterbox_labels_math():
     boxes = np.array([[100.0, 50, 40, 20]], np.float32)
     out = letterbox_labels(boxes, ratio=0.5, pad_x=10, pad_y=20)
