@@ -9,13 +9,19 @@ Darknet-53 → YOLOv3 heads → dense decode (single-label, 3-D layout) →
 padded top-k → class-wise Pallas NMS → padded detections out.
 
 Dispatch amortization: each jitted call runs `scan_batches` batches via
-`lax.scan`, with the input perturbed per step so XLA cannot hoist the
-loop body. This matters on the axon remote-TPU transport, where every
-executable dispatch costs a ~30 ms host↔TPU round-trip (measured: a
-trivial `sum(x*2)` takes 30.4 ms wall at any software-pipeline depth) —
-single-batch dispatch measures the tunnel, not the chip. A production
-streaming server amortizes dispatch the same way (queue G batches per
-call); per-batch DEVICE time is what this records.
+`lax.scan`; the body alternates between TWO distinct device-resident
+batches via a traced index, so every iteration reads a fresh batch
+from HBM (as a production server would) and XLA cannot hoist the
+loop-invariant pipeline out of the scan. This matters on the axon
+remote-TPU transport, where every executable dispatch costs a ~30 ms
+host↔TPU round-trip (measured: a trivial `sum(x*2)` takes 30.4 ms wall
+at any software-pipeline depth) — single-batch dispatch measures the
+tunnel, not the chip, and even the r2 default of scan(10) left a ~3 ms
+(~12%) residual dispatch floor inside every per-batch number. scan(40)
+bounds it at <1 ms while keeping each dispatch well under the 60 s
+transport watchdog. (The r2 protocol's `x + i` uint8 perturbation also
+charged an elementwise pass over the padded-layout NHWC3 tensor to the
+pipeline; indexing pre-staged batches removes that artifact.)
 
 Timing is fetch-forced: a scalar reduced from EVERY iteration's output
 is pulled to host inside the timed region (`block_until_ready` alone
@@ -38,8 +44,8 @@ import time
 import numpy as np
 
 
-def main(batch: int = 32, iters: int = 6, input_size: int = 416,
-         scan_batches: int = 10) -> None:
+def main(batch: int = 32, iters: int = 5, input_size: int = 416,
+         scan_batches: int = 40) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -64,16 +70,17 @@ def main(batch: int = 32, iters: int = 6, input_size: int = 416,
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
     @functools.partial(jax.jit, static_argnames=("g",))
-    def detect_scan(p, x, g):
+    def detect_scan(p, two, g):
         def body(acc, i):
-            # per-step input variation (uint8 wrap): prevents XLA from
-            # hoisting the loop-invariant detect out of the scan
-            return acc + detect(p, x + i.astype(jnp.uint8)), None
+            # alternate two real batches via a traced index: fresh HBM
+            # read per iteration, nothing loop-invariant to hoist
+            x = jax.lax.dynamic_index_in_dim(two, i % 2, 0, keepdims=False)
+            return acc + detect(p, x), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(g))
         return acc
 
     imgs = jnp.asarray(np.random.RandomState(0).randint(
-        0, 255, (batch, input_size, input_size, 3), np.uint8))
+        0, 255, (2, batch, input_size, input_size, 3), np.uint8))
 
     float(detect_scan(params, imgs, scan_batches))  # compile + warm
     float(detect_scan(params, imgs, scan_batches))

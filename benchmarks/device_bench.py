@@ -56,7 +56,10 @@ def bench_model(model_name: str, *, input_size: int | None = None,
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if scan_batches is None:
-        scan_batches = 10 if on_tpu else 1
+        # deep enough that the ~30 ms axon dispatch round-trip is <1 ms
+        # per batch (see bench.py docstring); rapid@1024 at 40 batches
+        # is ~6 s per dispatch, well under the 60 s transport watchdog
+        scan_batches = 40 if on_tpu else 1
     size = input_size or DEFAULTS.get(model_name, 416)
     model = get_model(model_name, input_size=size,
                       compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
@@ -81,14 +84,17 @@ def bench_model(model_name: str, *, input_size: int | None = None,
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
     @functools.partial(jax.jit, static_argnames=("g",))
-    def detect_scan(p, x, g):
+    def detect_scan(p, two, g):
         def body(acc, i):
-            return acc + detect(p, x + i.astype(jnp.uint8)), None
+            # alternate two real device batches (fresh HBM read, no
+            # hoistable loop-invariant, no u8-perturbation artifact)
+            x = jax.lax.dynamic_index_in_dim(two, i % 2, 0, keepdims=False)
+            return acc + detect(p, x), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(g))
         return acc
 
     imgs = jnp.asarray(np.random.RandomState(0).randint(
-        0, 255, (batch, size, size, 3), np.uint8))
+        0, 255, (2, batch, size, size, 3), np.uint8))
     float(detect_scan(params, imgs, scan_batches))  # compile + warm
     float(detect_scan(params, imgs, scan_batches))
 

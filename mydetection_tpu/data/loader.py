@@ -114,12 +114,17 @@ class StreamingPipeline:
 
     def __init__(self, paths: Sequence[str], *, input_size: int,
                  batch_size: int = 64, num_threads: int = 4,
-                 device_put: bool = True, native: str | bool = "auto"):
+                 device_put: bool = True, native: str | bool = "auto",
+                 load_fn: Callable[[str], tuple] | None = None):
         self.paths = list(paths)
         self.input_size = input_size
         self.batch_size = batch_size
         self.num_threads = num_threads
         self.device_put = device_put
+        # load_fn(path) -> (canvas u8 (S,S,3), LetterboxInfo) overrides
+        # the decoder — benchmarks use it to bound overlap with a
+        # synthetic (sleep) decode independent of this host's CPU.
+        self.load_fn = load_fn
         # native C++ decode+letterbox (mydetection_tpu.native): ~1.4-2x
         # faster than PIL and GIL-free for the whole call; "auto" uses
         # it when the library builds, falling back per-image on non-JPEG
@@ -136,6 +141,8 @@ class StreamingPipeline:
             self._native = None
 
     def _load(self, i: int):
+        if self.load_fn is not None:
+            return self.load_fn(self.paths[i])
         if self._native is not None:
             try:
                 return self._native.decode_letterbox_file(

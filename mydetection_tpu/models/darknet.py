@@ -20,12 +20,172 @@ import jax.numpy as jnp
 from mydetection_tpu.models.layers import (
     KeyGen,
     Params,
+    batch_norm,
+    conv2d,
     conv_bn_leaky,
     conv_bn_leaky_init,
+    leaky_relu,
 )
 
 STAGE_BLOCKS = (1, 2, 8, 8, 4)
 STAGE_CHANNELS = (64, 128, 256, 512, 1024)
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth early stages (TPU fast path; exact rewrite)
+# ---------------------------------------------------------------------------
+#
+# Profiled on v5e at batch 32/416²: the stem conv (3→32 @416²), the
+# first downsample (32→64 @208²), stage0's residual block, and
+# stage1's downsample run at 1.6-28% MFU — the 128-lane MXU/VPU pads
+# C∈{3,32,64} channels 2-40×, and these layers burned 12.3 of the
+# 22.2 ms batch-32 conv total while stages 2-4 run at 92-95%. The
+# classic TPU detection fix: fold a 2×2 space-to-depth into the conv
+# WEIGHTS so the same dot products run at half resolution with 4× the
+# channels. Crucially the S2D relayout itself is NEVER materialized (a
+# (H,W,3)→(H/2,W/2,12) transpose measured 2.8 ms alone — lane-minor
+# C=3 relayouts are pathological): phase extraction is folded into a
+# single 4×4 stride-2 conv on the ORIGINAL layout whose 128 output
+# channels are the four phases of the 32-channel stem activation.
+# Bit-identical math up to float reassociation; gated to inference
+# (BN batch-stats would otherwise reduce over phase-split channels).
+#
+# Domain plan (cells = half-resolution positions, channels phase-major
+# (pi·2+pj)·C+c for output pixel (2I+pi, 2J+pj)):
+#   x (H,W,3) ──conv 4×4 s2 (3→4·32), pad (1,1)──▶ S2D stem act (H/2, 4·32)
+#     ──conv 3×3 s2 (4·32→4·64), pad (1,0)──▶ S2D s0.down act (H/4, 4·64)
+#     ── s0 res block, phase-inflated weights ──▶ same domain
+#     ──conv 2×2 s1 (4·64→128), pad (1,0)──▶ ORIGINAL s1.down act (H/4, 128)
+# from stage1's residual blocks on, channels are ≥128 and the standard
+# path is already MXU-saturated.
+
+def _phase_fold_s1_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-1 conv (3,3,Cin,Cout), original-layout input → one
+    4×4 stride-2 conv (4,4,Cin,4Cout) emitting all four output phases
+    as channel blocks. Output cell I covers input rows 2I-1..2I+2
+    (padding (1,1)); phase pi's tap di lands at window row pi+di+1."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((4, 4, cin, 4 * cout), w.dtype)
+    for pi in range(2):
+        for pj in range(2):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    k = k.at[pi + di + 1, pj + dj + 1, :,
+                             (pi * 2 + pj) * cout:(pi * 2 + pj + 1) * cout
+                             ].set(w[di + 1, dj + 1])
+    return k
+
+
+def _phase_fold_s2_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-2 conv (3,3,Cin,Cout), S2D-domain input → one 3×3
+    stride-2 conv (3,3,4Cin,4Cout) whose output stays in S2D form.
+
+    Original output pixel (2K+pi)·2+di reads input row 4K+2pi+di,
+    i.e. input cell offset (2pi+di)>>1 ∈ {pi-1, pi} with input phase
+    di&1; window starts at cell 2K-1 (padding (1,0))."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for pi in range(2):
+        for pj in range(2):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    ti = pi + (di >> 1) + 1
+                    tj = pj + (dj >> 1) + 1
+                    qi, qj = di & 1, dj & 1
+                    k = k.at[ti, tj,
+                             (qi * 2 + qj) * cin:(qi * 2 + qj + 1) * cin,
+                             (pi * 2 + pj) * cout:(pi * 2 + pj + 1) * cout
+                             ].set(w[di + 1, dj + 1])
+    return k
+
+
+def _s2d_conv3_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-1 conv (3,3,Cin,Cout), S2D in AND out → 3×3 cell
+    kernel (3,3,4Cin,4Cout): phase pi's tap di reads cell offset
+    (pi+di)>>1 ∈ {-1,0,1}, input phase (pi+di)&1. Padding (1,1)."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for pi in range(2):
+        for pj in range(2):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    si, sj = pi + di, pj + dj
+                    ai, qi = si >> 1, si & 1
+                    aj, qj = sj >> 1, sj & 1
+                    k = k.at[ai + 1, aj + 1,
+                             (qi * 2 + qj) * cin:(qi * 2 + qj + 1) * cin,
+                             (pi * 2 + pj) * cout:(pi * 2 + pj + 1) * cout
+                             ].set(w[di + 1, dj + 1])
+    return k
+
+
+def _blockdiag_1x1_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """1×1 conv (1,1,Cin,Cout), S2D in and out → block-diagonal
+    (1,1,4Cin,4Cout): each phase maps through the same weights."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((1, 1, 4 * cin, 4 * cout), w.dtype)
+    for p in range(4):
+        k = k.at[0, 0, p * cin:(p + 1) * cin,
+                 p * cout:(p + 1) * cout].set(w[0, 0])
+    return k
+
+
+def _s2d_exit_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-2 conv (3,3,Cin,Cout), S2D-domain input → ORIGINAL-
+    domain output: 2×2 stride-1 cell kernel (2,2,4Cin,Cout), padding
+    (1,0). Output (i,j) reads input rows 2i+di → cell di>>1 ∈ {-1,0},
+    phase di&1."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ai, qi = di >> 1, di & 1
+            aj, qj = dj >> 1, dj & 1
+            k = k.at[ai + 1, aj + 1,
+                     (qi * 2 + qj) * cin:(qi * 2 + qj + 1) * cin].set(
+                w[di + 1, dj + 1])
+    return k
+
+
+def _tile_bn(bn: Params, r: int = 4) -> Params:
+    """BN params for S2D-split channels (phase-major ⇒ plain tile)."""
+    return {key: jnp.tile(bn[key], r) for key in ("scale", "bias",
+                                                  "mean", "var")}
+
+
+def _cbl_s2d(p: Params, x, weight_fn, padding, *, stride=1, tiled_bn=True,
+             compute_dtype):
+    """conv_bn_leaky with a phase-transformed weight."""
+    y = conv2d(x, weight_fn(p["conv"]["w"]), stride=stride,
+               padding=padding, compute_dtype=compute_dtype)
+    bn = _tile_bn(p["bn"]) if tiled_bn else p["bn"]
+    y, _ = batch_norm(y, bn, train=False)
+    return leaky_relu(y)
+
+
+def _early_s2d(params: Params, x: jnp.ndarray, *, compute_dtype) -> jnp.ndarray:
+    """stem → stage0.down → stage0.res0 → stage1.down, all in the 2×2
+    space-to-depth domain (see module comment). Returns the ORIGINAL-
+    domain (B, H/4, W/4, 128) stage1.down activation, numerically equal
+    to the standard path (inference BN). Exactness is pinned by
+    tests/test_models.py::test_darknet_s2d_stem_matches_standard_path."""
+    s0, s1 = params["stage0"], params["stage1"]
+    # stem: original layout in, S2D(32ch) out — no input relayout
+    y = _cbl_s2d(params["stem"], x, _phase_fold_s1_weight,
+                 [(1, 1), (1, 1)], stride=2, compute_dtype=compute_dtype)
+    # stage0 downsample: S2D → S2D (half the cells)
+    y = _cbl_s2d(s0["down"], y, _phase_fold_s2_weight,
+                 [(1, 0), (1, 0)], stride=2, compute_dtype=compute_dtype)
+    # stage0's single residual block, phase-inflated
+    r = _cbl_s2d(s0["res0"]["conv1"], y, _blockdiag_1x1_weight,
+                 [(0, 0), (0, 0)], compute_dtype=compute_dtype)
+    r = _cbl_s2d(s0["res0"]["conv2"], r, _s2d_conv3_weight,
+                 [(1, 1), (1, 1)], compute_dtype=compute_dtype)
+    y = y + r
+    # stage1 downsample exits the S2D domain (output C=128 fills lanes)
+    return _cbl_s2d(s1["down"], y, _s2d_exit_weight,
+                    [(1, 0), (1, 0)], tiled_bn=False,
+                    compute_dtype=compute_dtype)
 
 
 def init(rng: jax.Array) -> Params:
@@ -103,25 +263,49 @@ def _res_stage(stage: Params, y: jnp.ndarray, nblocks: int, *,
     return y, stats
 
 
+def _use_s2d(s2d_stem: bool | None, train: bool, x: jnp.ndarray) -> bool:
+    """Resolve the space-to-depth early-stage policy. None = auto:
+    inference on TPU with spatial dims divisible by 4 (the S2D chain
+    runs through two downsamples; every %32 input size qualifies)."""
+    ok = (not train) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+    if s2d_stem is None:
+        return ok and jax.default_backend() == "tpu"
+    return s2d_stem and ok
+
+
 def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
-          compute_dtype=None, scan_blocks: bool | None = None):
+          compute_dtype=None, scan_blocks: bool | None = None,
+          s2d_stem: bool | None = None):
     """x: NHWC float image batch → (C3, C4, C5), plus BN-update tree.
 
     Returns ((c3, c4, c5), updates) — updates is None in eval mode.
     `scan_blocks`: None (auto: scan on TPU) / True / False.
+    `s2d_stem`: None (auto: space-to-depth stem fast path on TPU
+    inference) / True / False — same math either way (tested).
     """
     updates: Params = {}
-    y, s = conv_bn_leaky(params["stem"], x, train=train, compute_dtype=compute_dtype)
-    if train:
-        updates["stem"] = {"bn": s}
-    feats = []
-    for si, nblocks in enumerate(STAGE_BLOCKS):
-        stage = params[f"stage{si}"]
-        stage_updates: Params = {}
-        y, s = conv_bn_leaky(stage["down"], y, stride=2, train=train,
+    s2d = _use_s2d(s2d_stem, train, x)
+    if s2d:
+        # stem + stage0 + stage1.down in one space-to-depth chain
+        y = _early_s2d(params, x, compute_dtype=compute_dtype)
+    else:
+        y, s = conv_bn_leaky(params["stem"], x, train=train,
                              compute_dtype=compute_dtype)
         if train:
-            stage_updates["down"] = {"bn": s}
+            updates["stem"] = {"bn": s}
+    feats = []
+    for si, nblocks in enumerate(STAGE_BLOCKS):
+        if si == 0 and s2d:
+            continue  # fully handled inside _early_s2d
+        stage = params[f"stage{si}"]
+        stage_updates: Params = {}
+        if si == 1 and s2d:
+            pass  # stage1.down already applied inside _early_s2d
+        else:
+            y, s = conv_bn_leaky(stage["down"], y, stride=2, train=train,
+                                 compute_dtype=compute_dtype)
+            if train:
+                stage_updates["down"] = {"bn": s}
         y, stats = _res_stage(stage, y, nblocks, train=train,
                               compute_dtype=compute_dtype,
                               scan_blocks=scan_blocks)

@@ -65,8 +65,8 @@ def decode_level(raw: jnp.ndarray, anchors, stride: int):
     return {"boxes5": boxes5, "conf": conf}
 
 
-def decode(raw_outputs: Sequence[jnp.ndarray]):
-    parts = [decode_level(raw, ANCHORS[i], STRIDES[i])
+def decode(raw_outputs: Sequence[jnp.ndarray], *, anchors=ANCHORS):
+    parts = [decode_level(raw, anchors[i], STRIDES[i])
              for i, raw in enumerate(raw_outputs)]
     return {
         "boxes5": jnp.concatenate([p["boxes5"] for p in parts], 1),
@@ -75,15 +75,18 @@ def decode(raw_outputs: Sequence[jnp.ndarray]):
 
 
 def loss(raw_outputs: Sequence[jnp.ndarray], gt_boxes5: jnp.ndarray,
-         gt_valid: jnp.ndarray, *, input_size: int) -> dict:
+         gt_valid: jnp.ndarray, *, input_size: int, anchors=ANCHORS) -> dict:
     """RAPiD loss: BCE(xy) + MSE(wh) + periodic-L1(θ) + BCE(conf).
 
     gt_boxes5: (B, M, 5) cxcywhθ (radians) in network pixels, padded.
     Assignment mirrors YOLOv3 (best wh-IoU anchor per GT); the conf
     ignore mask uses axis-aligned IoU of the enclosing boxes — cheap
     and sufficient for "don't punish near-duplicates" [inferred].
+    `anchors`: 3-level (w, h) table, P5→P3 — derive from a user dataset
+    with mydetection_tpu.anchors.anchor_table (the default table is an
+    admitted guess, PARITY.md).
     """
-    all_anchors = jnp.asarray([a for lvl in ANCHORS for a in lvl], jnp.float32)
+    all_anchors = jnp.asarray([a for lvl in anchors for a in lvl], jnp.float32)
     b, m = gt_valid.shape
 
     gw, gh = gt_boxes5[..., 2], gt_boxes5[..., 3]
@@ -95,7 +98,7 @@ def loss(raw_outputs: Sequence[jnp.ndarray], gt_boxes5: jnp.ndarray,
     best_level = best_a // 3
     best_sub = best_a % 3
 
-    decoded = decode(raw_outputs)
+    decoded = decode(raw_outputs, anchors=anchors)
     # enclosing axis-aligned approximation for the ignore mask
     def enclose(b5):
         cos = jnp.abs(jnp.cos(b5[..., 4]))
@@ -129,7 +132,7 @@ def loss(raw_outputs: Sequence[jnp.ndarray], gt_boxes5: jnp.ndarray,
         flat_idx = (cj * w + ci) * na + best_sub
         flat_idx = jnp.where(sel, flat_idx, n)
 
-        anc = jnp.asarray(ANCHORS[li], jnp.float32)
+        anc = jnp.asarray(anchors[li], jnp.float32)
         t_xy = jnp.stack([cx - jnp.floor(cx), cy - jnp.floor(cy)], -1)
         t_wh = jnp.log(jnp.maximum(gt_boxes5[..., 2:4] / anc[best_sub], 1e-9))
         w_box = 2.0 - (gt_boxes5[..., 2] * gt_boxes5[..., 3]) / float(input_size) ** 2

@@ -207,10 +207,11 @@ def decode_level(raw: jnp.ndarray, anchors, stride: int, num_classes: int):
     }
 
 
-def decode(raw_outputs: Sequence[jnp.ndarray], num_classes: int = 80):
+def decode(raw_outputs: Sequence[jnp.ndarray], num_classes: int = 80, *,
+           anchors=ANCHORS):
     """All levels → concatenated dense predictions (B, ΣN, ...)."""
     parts = [
-        decode_level(raw, ANCHORS[i], STRIDES[i], num_classes)
+        decode_level(raw, anchors[i], STRIDES[i], num_classes)
         for i, raw in enumerate(raw_outputs)
     ]
     return {
@@ -226,7 +227,7 @@ def scores_from(decoded: dict) -> jnp.ndarray:
 
 
 def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
-                        num_classes: int = 80) -> dict:
+                        num_classes: int = 80, *, anchors=ANCHORS) -> dict:
     """All levels → per-box best-class detections (B, ΣN, ...).
 
     The reference's YOLO decode keeps one class per box: score =
@@ -240,10 +241,10 @@ def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
     boxes, scores, classes = [], [], []
     for i, raw in enumerate(raw_outputs):
         b, h, w, _ = raw.shape
-        na = len(ANCHORS[i])
+        na = len(anchors[i])
         n = h * w * na
         r = raw.reshape(b, n, 5 + num_classes)  # 3-D, native dtype
-        grid, anc = _grid_anchor_tables(h, w, ANCHORS[i])
+        grid, anc = _grid_anchor_tables(h, w, anchors[i])
         # class max/argmax on the raw logits in their NATIVE dtype
         # (bf16 on TPU): sigmoid is monotone so the winner is exact;
         # only the winning logit is cast up for the f32 sigmoid.
@@ -267,7 +268,7 @@ def decode_single_label(raw_outputs: Sequence[jnp.ndarray],
 
 def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
          gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray, gt_valid: jnp.ndarray,
-         *, input_size: int, num_classes: int = 80) -> dict:
+         *, input_size: int, num_classes: int = 80, anchors=ANCHORS) -> dict:
     """YOLOv3 loss over padded GT.
 
     Args:
@@ -287,7 +288,7 @@ def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
         (2 - gt_w*gt_h / size²) — the small-box upweighting idiom.
     """
     all_anchors = jnp.asarray(
-        [a for lvl in ANCHORS for a in lvl], jnp.float32)  # (9, 2)
+        [a for lvl in anchors for a in lvl], jnp.float32)  # (9, 2)
     b, m = gt_classes.shape
 
     # --- best anchor per GT (wh IoU at origin) ---
@@ -305,7 +306,7 @@ def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
     total_cls = jnp.float32(0)
     num_pos_total = jnp.float32(0)
 
-    decoded = decode(raw_outputs, num_classes)
+    decoded = decode(raw_outputs, num_classes, anchors=anchors)
     pred_xyxy = cxcywh_to_xyxy(decoded["boxes"])            # (B, N, 4)
     gt_xyxy = cxcywh_to_xyxy(gt_boxes)                      # (B, M, 4)
     iou_pred_gt = pairwise_iou(pred_xyxy, gt_xyxy)          # (B, N, M)
@@ -329,7 +330,7 @@ def loss(params_unused, raw_outputs: Sequence[jnp.ndarray],
         flat_idx = (cj * w + ci) * na + best_sub
         flat_idx = jnp.where(sel, flat_idx, h * w * na)     # (B, M)
 
-        anc = jnp.asarray(ANCHORS[li], jnp.float32)          # (3, 2)
+        anc = jnp.asarray(anchors[li], jnp.float32)          # (3, 2)
         t_xy = jnp.stack([cx - jnp.floor(cx), cy - jnp.floor(cy)], -1)  # (B,M,2)
         sub_anc = anc[best_sub]                              # (B, M, 2)
         t_wh = jnp.log(jnp.maximum(gt_boxes[..., 2:4] / sub_anc, 1e-9))

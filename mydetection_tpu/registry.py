@@ -47,6 +47,12 @@ class ModelConfig:
     # REQUIRED when importing torchvision fcos checkpoints (see
     # models/fcos.apply).
     ltrb_decode: str = "exp"
+    # anchor table override for the darknet families: 3 levels (P5→P3)
+    # of per-level (w, h) tuples in input pixels. None = the family
+    # default (yolov3: the canonical COCO anchors; rapid: admitted-guess
+    # person priors). Derive from a user dataset with
+    # mydetection_tpu.anchors.anchor_table (SURVEY.md §2.7b).
+    anchors: tuple | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +137,7 @@ def fast_init(model: "Model", rng: jax.Array):
 
 def _build_yolov3(cfg: ModelConfig) -> Model:
     nc = cfg.num_classes
+    anchors = cfg.anchors if cfg.anchors is not None else yolov3.ANCHORS
 
     def init(rng: jax.Array) -> dict:
         ks = jax.random.split(rng, 2)
@@ -151,11 +158,11 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
                                compute_dtype=cfg.compute_dtype)
         from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
         if cfg.multi_label:
-            decoded = yolov3.decode(raw, nc)
+            decoded = yolov3.decode(raw, nc, anchors=anchors)
             dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),  # xyxy for NMS
                      "scores": yolov3.scores_from(decoded)}
         else:
-            decoded = yolov3.decode_single_label(raw, nc)
+            decoded = yolov3.decode_single_label(raw, nc, anchors=anchors)
             dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),
                      "scores": decoded["scores"],
                      "classes": decoded["classes"]}
@@ -181,7 +188,7 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
         raw, updates = forward_raw(params, images, train=True)
         terms = yolov3.loss(None, raw, gt_boxes, gt_classes, gt_valid,
                             input_size=input_size or cfg.input_size,
-                            num_classes=nc)
+                            num_classes=nc, anchors=anchors)
         terms["bn_updates"] = updates
         return terms
 
@@ -260,6 +267,8 @@ def _build_retinanet(depth: int):
 def _build_rapid(cfg: ModelConfig) -> Model:
     from mydetection_tpu.models import rapid
 
+    anchors = cfg.anchors if cfg.anchors is not None else rapid.ANCHORS
+
     def init(rng: jax.Array) -> dict:
         ks = jax.random.split(rng, 2)
         return {"backbone": darknet.init(ks[0]),
@@ -279,7 +288,7 @@ def _build_rapid(cfg: ModelConfig) -> Model:
 
     def forward_dense(params, images, *, train: bool = False):
         raw, updates = forward_raw(params, images, train=train)
-        decoded = rapid.decode(raw)
+        decoded = rapid.decode(raw, anchors=anchors)
         # rotated models: "boxes" carries (cx, cy, w, h, θ); "scores" (B, N)
         return {"boxes": decoded["boxes5"], "scores": decoded["conf"]}, updates
 
@@ -288,7 +297,8 @@ def _build_rapid(cfg: ModelConfig) -> Model:
         """gt_boxes here are (B, M, 5) cxcywhθ; gt_classes unused (person)."""
         raw, updates = forward_raw(params, images, train=True)
         terms = rapid.loss(raw, gt_boxes, gt_valid,
-                           input_size=input_size or cfg.input_size)
+                           input_size=input_size or cfg.input_size,
+                           anchors=anchors)
         terms["bn_updates"] = updates
         return terms
 

@@ -201,6 +201,58 @@ def test_train_loader_rotated_applies_rotation(coco_dir):
     assert (np.abs(th_on) > 1e-3).any()
 
 
+def test_streaming_pipeline_overlaps_decode_with_consumer():
+    """Overlap proof for the pipeline mechanism (VERDICT r2 #5): with a
+    synthetic GIL-free decode (sleep, like libjpeg) and a consumer that
+    also sleeps, pipelined wall time must approach
+    max(decode_bound, consumer_bound) — NOT their sum — and the
+    consumer must spend most of its time computing, not starved."""
+    import time
+
+    from mydetection_tpu.utils.image_ops import LetterboxInfo
+
+    size, batch, threads = 32, 4, 4
+    n_images = 24
+    dec_ms, dev_ms = 20.0, 10.0
+    canvas = np.zeros((size, size, 3), np.uint8)
+    info = LetterboxInfo(size, size, 1.0, 0, 0, size)
+
+    def fake_decode(path):
+        time.sleep(dec_ms / 1000.0)
+        return canvas, info
+
+    pipe = StreamingPipeline([f"s://{i}" for i in range(n_images)],
+                             input_size=size, batch_size=batch,
+                             num_threads=threads, device_put=False,
+                             load_fn=fake_decode)
+    t0 = time.perf_counter()
+    wait_s, n_batches = 0.0, 0
+    it = iter(pipe)
+    while True:
+        tw = time.perf_counter()
+        try:
+            next(it)
+        except StopIteration:
+            break
+        wait_s += time.perf_counter() - tw
+        n_batches += 1
+        time.sleep(dev_ms / 1000.0)  # consumer (device) stage
+    total = time.perf_counter() - t0
+
+    assert n_batches == n_images // batch
+    decode_bound = n_images * dec_ms / 1000.0 / threads  # 0.12 s
+    consumer_time = n_batches * dev_ms / 1000.0          # 0.06 s
+    serial_sum = n_images * dec_ms / 1000.0 + consumer_time  # 0.54 s
+    # overlapped: well under the serial sum, near the decode bound
+    # (generous 2.5x margin absorbs 1-core scheduling jitter)
+    assert total < 0.65 * serial_sum, (total, serial_sum)
+    assert total < 2.5 * max(decode_bound, consumer_time), (
+        total, decode_bound, consumer_time)
+    # the consumer is the bottleneck's complement: idle time is bounded
+    # by the decode/consumer imbalance, never ~100%
+    assert wait_s / total < 0.8, (wait_s, total)
+
+
 def test_train_loader_visits_every_index(coco_dir):
     """The tail `len(ds) % batch` images are not silently dropped: the
     final batch is padded by cycling the permutation (VERDICT r2 #6)."""

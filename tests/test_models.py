@@ -19,6 +19,28 @@ def test_darknet_feature_shapes():
     assert updates is None
 
 
+def test_darknet_s2d_stem_matches_standard_path():
+    """The space-to-depth stem fast path (TPU MFU fix: stem+first
+    downsample fold into half-resolution 4x-channel convs) is an EXACT
+    rewrite — same dot products, different layout. C3/C4/C5 must match
+    the standard path to float32-reassociation noise."""
+    params = darknet.init(jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3)
+                    .astype(np.float32))
+    ref = jax.jit(lambda p, v: darknet.apply(p, v, s2d_stem=False)[0])(params, x)
+    got = jax.jit(lambda p, v: darknet.apply(p, v, s2d_stem=True)[0])(params, x)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(g / scale, r / scale, atol=1e-5)
+    # odd spatial dims can't split into 2x2 cells: auto-path must fall
+    # back to the standard stem rather than mis-shaping
+    x_odd = jnp.asarray(np.random.RandomState(1).randn(1, 33, 33, 3)
+                        .astype(np.float32))
+    assert not darknet._use_s2d(True, False, x_odd)
+    assert not darknet._use_s2d(None, True, x)  # train mode: BN stats
+
+
 def test_darknet_train_mode_returns_bn_updates():
     params = darknet.init(jax.random.PRNGKey(0))
     x = jnp.ones((2, 64, 64, 3), jnp.float32)
