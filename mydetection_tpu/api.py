@@ -230,14 +230,16 @@ class Detector:
         model, cfg, use_pallas = self.model, self.cfg, self.use_pallas
 
         def post_one(d: dict, conf_thres, nms_iou):
-            """d: per-image dense dict (boxes, scores[, classes])."""
+            """d: per-image dense dict (boxes + scores | score_logits)."""
             if cfg.rotated:
                 return rotated_postprocess_impl(
                     d["boxes"], d["scores"], conf_thres=conf_thres,
                     iou_thres=nms_iou, pre_nms=cfg.pre_nms,
                     max_dets=cfg.max_dets, use_pallas=use_pallas)
             return postprocess_impl(
-                d["boxes"], d["scores"], classes=d.get("classes"),
+                d["boxes"], d.get("scores"), classes=d.get("classes"),
+                score_logits=d.get("score_logits"),
+                score_mul=d.get("score_mul"),
                 conf_thres=conf_thres, iou_thres=nms_iou,
                 pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
                 use_pallas=use_pallas, multi_label=cfg.multi_label)

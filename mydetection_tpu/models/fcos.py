@@ -146,23 +146,35 @@ def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
         else:
             ltrb = jnp.maximum(raw_box.astype(jnp.float32), 0.0)
         ltrb = ltrb * float(STRIDES[li])
-        cls_f.append(cls.astype(jnp.float32).reshape(b, h * w, num_classes))
+        # cls logits stay in the conv compute dtype (bf16 on TPU): the
+        # postprocess consumes logits directly (score_logits path),
+        # deferring the f32 sigmoid past top-k selection
+        cls_f.append(cls.reshape(b, h * w, num_classes))
         box_f.append(ltrb.reshape(b, h * w, 4))
         ctr_f.append(ctr.astype(jnp.float32).reshape(b, h * w))
     return (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1),
             jnp.concatenate(ctr_f, 1))
 
 
-def decode(cls_logits, ltrb, ctr_logits, locations):
-    """Head outputs + locations → dense detections.
-
-    Score = cls_prob * centerness_prob (the FCOS ranking score).
-    Returns {"boxes": (B,N,4) xyxy, "scores": (B,N,C)}.
-    """
+def decode_boxes(ltrb, locations) -> jnp.ndarray:
+    """ltrb pixel distances + locations → (B, N, 4) xyxy."""
     xy = locations[None]
-    boxes = jnp.concatenate([xy - ltrb[..., 0:2], xy + ltrb[..., 2:4]], -1)
-    scores = jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(ctr_logits)[..., None]
-    return {"boxes": boxes, "scores": scores}
+    return jnp.concatenate([xy - ltrb[..., 0:2], xy + ltrb[..., 2:4]], -1)
+
+
+def decode(cls_logits, ltrb, ctr_logits, locations):
+    """Head outputs + locations → dense detections with materialized
+    scores. Score = cls_prob * centerness_prob (the FCOS ranking
+    score). Returns {"boxes": (B,N,4) xyxy, "scores": (B,N,C) f32}.
+
+    The production pipeline instead passes raw cls logits +
+    sigmoid(ctr) to the postprocess (registry forward_dense →
+    score_logits/score_mul) so the dense f32 probability tensor never
+    materializes; this form is kept for tests and direct use.
+    """
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32)) \
+        * jax.nn.sigmoid(ctr_logits)[..., None]
+    return {"boxes": decode_boxes(ltrb, locations), "scores": scores}
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,66 @@ STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 STAGE_CHANNELS = (256, 512, 1024, 2048)  # bottleneck output channels
 
 
+# ---------------------------------------------------------------------------
+# space-to-depth stem (TPU fast path; exact rewrite — see darknet.py)
+# ---------------------------------------------------------------------------
+#
+# Profiled on v5e at batch 32/608²: the 7×7-stride-2 stem (3→64) runs
+# at ~2% MFU (4.4 ms) — C=3 input and C=64 output pad the 128-lane
+# units. Same cure as the darknet stem: fold a 2×2 space-to-depth into
+# the weights. The stem becomes ONE 9×9-stride-4 conv on the original
+# layout whose 256 output channels are the four phases of the
+# 64-channel activation; the 3×3-stride-2 maxpool then reduces over 9
+# (cell, phase) channel-sliced taps and exits the S2D domain. Exact
+# (inference BN); pinned against the standard path in tests.
+
+def _phase_fold_stem7_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """7×7 stride-2 conv (7,7,Cin,Cout), pad 3 → 9×9 stride-4 conv
+    (9,9,Cin,4Cout), pad (3,2): output phase pi's pixel (2K+pi) reads
+    input rows 4K+2pi+di-3, di∈0..6 → window position 2pi+di ∈ 0..8."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((9, 9, cin, 4 * cout), w.dtype)
+    for pi in range(2):
+        for pj in range(2):
+            k = k.at[2 * pi:2 * pi + 7, 2 * pj:2 * pj + 7, :,
+                     (pi * 2 + pj) * cout:(pi * 2 + pj + 1) * cout].set(w)
+    return k
+
+
+def _maxpool_s2d_exit(y: jnp.ndarray, base_c: int) -> jnp.ndarray:
+    """3×3-stride-2 maxpool (pad 1, torch convention) applied to an
+    S2D-domain input, emitting the ORIGINAL-domain half-res output.
+
+    Output (i, j) maxes original rows 2i-1..2i+1 = S2D (cell, phase)
+    taps (i-1, 1), (i, 0), (i, 1) per axis → 9 channel-sliced shifted
+    views reduced elementwise."""
+    b, h, w, _ = y.shape
+    neg = jnp.asarray(-jnp.inf, y.dtype)
+    yp = jnp.pad(y, ((0, 0), (1, 0), (1, 0), (0, 0)), constant_values=neg)
+    taps = []
+    for ai, qi in ((-1, 1), (0, 0), (0, 1)):
+        for aj, qj in ((-1, 1), (0, 0), (0, 1)):
+            taps.append(yp[:, 1 + ai:1 + ai + h, 1 + aj:1 + aj + w,
+                           (qi * 2 + qj) * base_c:(qi * 2 + qj + 1) * base_c])
+    out = taps[0]
+    for t in taps[1:]:
+        out = jnp.maximum(out, t)
+    return out
+
+
+def _stem_s2d(stem: Params, x: jnp.ndarray, *, compute_dtype) -> jnp.ndarray:
+    """7×7-s2 conv + BN + ReLU + 3×3-s2 maxpool, S2D-fused. Returns the
+    original-domain (B, H/4, W/4, 64) post-pool activation."""
+    from mydetection_tpu.models.darknet import _tile_bn
+
+    w9 = _phase_fold_stem7_weight(stem["conv"]["w"])
+    y = conv2d(x, w9, stride=4, padding=[(3, 2), (3, 2)],
+               compute_dtype=compute_dtype)
+    y, _ = batch_norm(y, _tile_bn(stem["bn"]), train=False)
+    y = jnp.maximum(y, 0.0)
+    return _maxpool_s2d_exit(y, stem["conv"]["w"].shape[-1])
+
+
 def _conv_bn_init(rng, k, c_in, c_out) -> Params:
     return {"conv": conv_init(rng, k, c_in, c_out), "bn": bn_init(c_out)}
 
@@ -96,20 +156,30 @@ def _bottleneck(p: Params, x, *, stride: int, train, compute_dtype):
 
 def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
           train: bool = False, compute_dtype=None,
-          scan_blocks: bool | None = None):
+          scan_blocks: bool | None = None, s2d_stem: bool | None = None):
     """NHWC float batch → (C3, C4, C5), plus BN-update tree.
 
     `scan_blocks`: None (auto: scan on TPU — see darknet._use_scan for
     the measured CPU regression) / True / False.
+    `s2d_stem`: True folds the stem+maxpool into the space-to-depth
+    domain — an exact rewrite (tested), but measured SLOWER end-to-end
+    on v5e (67 vs 59 ms/batch-32 @608: the 9×9-stride-4 phase-folded
+    conv from a 3-channel input runs even colder than the 7×7 it
+    replaces, unlike the darknet 4×4 case). Default/None = off; kept
+    as an opt-in for future hardware where the tradeoff flips.
     """
     from mydetection_tpu.models.darknet import _use_scan
     updates: Params = {}
-    y, s = _conv_bn(params["stem"], x, stride=2, train=train,
-                    compute_dtype=compute_dtype)
-    if train:
-        updates["stem"] = s
-    y = jnp.maximum(y, 0.0)
-    y = max_pool(y, 3, 2)  # torch MaxPool2d(3, 2, padding=1): symmetric -inf pad
+    if s2d_stem is True and not train \
+            and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        y = _stem_s2d(params["stem"], x, compute_dtype=compute_dtype)
+    else:
+        y, s = _conv_bn(params["stem"], x, stride=2, train=train,
+                        compute_dtype=compute_dtype)
+        if train:
+            updates["stem"] = s
+        y = jnp.maximum(y, 0.0)
+        y = max_pool(y, 3, 2)  # torch MaxPool2d(3,2,padding=1): symmetric -inf pad
 
     feats = []
     for si, nblocks in enumerate(STAGE_BLOCKS[depth]):

@@ -126,14 +126,20 @@ def _subnet(p: Params, x, *, compute_dtype):
 
 def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
           num_classes: int = 80, compute_dtype=None):
-    """[P3..P7] → (cls_logits (B, N, C), box_deltas (B, N, 4)), f32."""
+    """[P3..P7] → (cls_logits (B, N, C) native dtype, box_deltas
+    (B, N, 4) f32).
+
+    cls_logits stay in the conv compute dtype (bf16 on TPU): the dense
+    (B, N, C) tensor is large (355 MB at 608²/80c/batch-32) and the
+    postprocess consumes LOGITS directly (ops/nms.postprocess_impl
+    score_logits path), deferring the f32 sigmoid past top-k selection.
+    """
     cls_flat, box_flat = [], []
     for feat in pyramid:
         b, h, w, _ = feat.shape
         cl = _subnet(params["cls"], feat, compute_dtype=compute_dtype)
         bx = _subnet(params["box"], feat, compute_dtype=compute_dtype)
-        cls_flat.append(cl.astype(jnp.float32).reshape(b, h * w * NUM_ANCHORS,
-                                                       num_classes))
+        cls_flat.append(cl.reshape(b, h * w * NUM_ANCHORS, num_classes))
         box_flat.append(bx.astype(jnp.float32).reshape(b, h * w * NUM_ANCHORS, 4))
     return (jnp.concatenate(cls_flat, 1), jnp.concatenate(box_flat, 1))
 
@@ -142,20 +148,29 @@ def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
 # decode + encode
 # ---------------------------------------------------------------------------
 
-def decode(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
-           anchors_cxcywh: jnp.ndarray):
-    """Deltas + anchors → dense detections.
-
-    Returns {"boxes": (B, N, 4) xyxy, "scores": (B, N, C) sigmoid}.
-    Decode math follows the standard R-CNN box coder with unit weights:
-    ctr = d*wh_a + ctr_a ; wh = exp(clamp(d)) * wh_a.
-    """
+def decode_boxes(box_deltas: jnp.ndarray,
+                 anchors_cxcywh: jnp.ndarray) -> jnp.ndarray:
+    """Deltas + anchors → (B, N, 4) xyxy. Standard R-CNN box coder with
+    unit weights: ctr = d*wh_a + ctr_a ; wh = exp(clamp(d)) * wh_a."""
     ctr_a = anchors_cxcywh[None, :, :2]
     wh_a = anchors_cxcywh[None, :, 2:]
     ctr = box_deltas[..., :2] * wh_a + ctr_a
     wh = jnp.exp(jnp.clip(box_deltas[..., 2:], -DWH_CLAMP, DWH_CLAMP)) * wh_a
-    boxes = cxcywh_to_xyxy(jnp.concatenate([ctr, wh], -1))
-    return {"boxes": boxes, "scores": jax.nn.sigmoid(cls_logits)}
+    return cxcywh_to_xyxy(jnp.concatenate([ctr, wh], -1))
+
+
+def decode(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
+           anchors_cxcywh: jnp.ndarray):
+    """Deltas + anchors → dense detections with materialized scores.
+
+    Returns {"boxes": (B, N, 4) xyxy, "scores": (B, N, C) f32 sigmoid}.
+    The production pipeline instead passes raw logits to the
+    postprocess (registry forward_dense → score_logits) so the dense
+    f32 probability tensor never materializes; this form is kept for
+    tests and direct use.
+    """
+    return {"boxes": decode_boxes(box_deltas, anchors_cxcywh),
+            "scores": jax.nn.sigmoid(cls_logits.astype(jnp.float32))}
 
 
 def encode(gt_cxcywh: jnp.ndarray, anchors_cxcywh: jnp.ndarray) -> jnp.ndarray:

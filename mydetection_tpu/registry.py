@@ -240,7 +240,10 @@ def _build_retinanet(depth: int):
             cls_logits, box_deltas, updates = forward_raw(params, images,
                                                           train=train)
             anchors = retinanet.generate_anchors(images.shape[1])
-            dense = retinanet.decode(cls_logits, box_deltas, anchors)
+            # logits stay dense/native; sigmoid happens after top-k in
+            # the postprocess (ops/nms score_logits path)
+            dense = {"boxes": retinanet.decode_boxes(box_deltas, anchors),
+                     "score_logits": cls_logits}
             return dense, updates
 
         def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
@@ -248,7 +251,8 @@ def _build_retinanet(depth: int):
             cls_logits, box_deltas, updates = forward_raw(params, images,
                                                           train=True)
             anchors = retinanet.generate_anchors(images.shape[1])
-            terms = retinanet.loss(cls_logits, box_deltas, anchors,
+            terms = retinanet.loss(cls_logits.astype(jnp.float32),
+                                   box_deltas, anchors,
                                    gt_boxes, gt_classes, gt_valid,
                                    num_classes=nc)
             terms["bn_updates"] = updates
@@ -346,14 +350,20 @@ def _build_fcos(cfg: ModelConfig) -> Model:
     def forward_dense(params, images, *, train: bool = False):
         cls_logits, ltrb, ctr, updates = forward_raw(params, images, train=train)
         locations, _ = fcos.generate_locations(images.shape[1])
-        dense = fcos.decode(cls_logits, ltrb, ctr, locations)
+        # cls logits stay dense/native; the FCOS ranking score
+        # sigmoid(cls)·sigmoid(ctr) is assembled after top-k in the
+        # postprocess (score_logits + score_mul)
+        dense = {"boxes": fcos.decode_boxes(ltrb, locations),
+                 "score_logits": cls_logits,
+                 "score_mul": jax.nn.sigmoid(ctr)}
         return dense, updates
 
     def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
              input_size: int | None = None):
         cls_logits, ltrb, ctr, updates = forward_raw(params, images, train=True)
         locations, strides = fcos.generate_locations(images.shape[1])
-        terms = fcos.loss(cls_logits, ltrb, ctr, locations, strides,
+        terms = fcos.loss(cls_logits.astype(jnp.float32), ltrb, ctr,
+                          locations, strides,
                           gt_boxes, gt_classes, gt_valid, num_classes=nc)
         terms["bn_updates"] = updates
         return terms

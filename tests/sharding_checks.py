@@ -164,9 +164,9 @@ def test_data_parallel_retinanet_forward_matches():
     d2 = fwd(replicate(params, mesh), shard_batch(images, mesh))
     # tolerance is looser than the yolov3 check's: ResNet-50+FPN is
     # deeper, and batch-2-vs-4 conv-tiling noise reaches ~6e-4
-    # normalized by the output max (0.04 px / 6e-4 score — no semantic
+    # normalized by the output max (0.04 px / 6e-4 logit — no semantic
     # meaning)
-    for k, atol in (("boxes", 2e-3), ("scores", 2e-3)):
+    for k, atol in (("boxes", 2e-3), ("score_logits", 2e-3)):
         a, b = np.asarray(d1[k]), np.asarray(d2[k])
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=atol)

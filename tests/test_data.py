@@ -291,6 +291,45 @@ def test_random_augment_requires_classes_when_rotating():
     assert c is None and len(b) == 1
 
 
+def test_fisheye_adapters(tmp_path, coco_dir):
+    """Named CEPDOF/MW-R/HABBOF on-ramps (SURVEY.md §2.11): COCO-style
+    rotated JSON adapters + the HABBOF per-frame txt layout."""
+    from mydetection_tpu.data import fisheye
+
+    # CEPDOF / MW-R: rotated 5-element-bbox COCO JSON
+    gt = json.load(open(coco_dir / "ann.json"))
+    for ann in gt["annotations"]:
+        bb = ann["bbox"]
+        ann["bbox"] = [bb[0] + bb[2] / 2, bb[1] + bb[3] / 2, bb[2], bb[3], 30.0]
+    ds = fisheye.cepdof(gt, str(coco_dir))
+    item = ds[0]
+    if len(item["boxes"]):
+        assert item["boxes"].shape[1] == 5
+        np.testing.assert_allclose(item["boxes"][:, 4], np.radians(30))
+    assert fisheye.mw_r(gt, str(coco_dir)).rotated
+
+    # HABBOF: frames + per-frame txt "person cx cy w h degrees"
+    root = tmp_path / "habbof"
+    root.mkdir()
+    img = np.random.RandomState(0).randint(0, 255, (80, 100, 3), np.uint8)
+    Image.fromarray(img).save(root / "f000.jpg")
+    Image.fromarray(img).save(root / "f001.jpg")
+    (root / "f000.txt").write_text(
+        "person 50 40 20 30 45\n30 20 10 12 -15\n")  # class token optional
+    ds = fisheye.HabbofDataset(str(root))
+    assert len(ds) == 2
+    a = ds[0]
+    assert a["boxes"].shape == (2, 5)
+    np.testing.assert_allclose(a["boxes"][0], [50, 40, 20, 30, np.radians(45)])
+    np.testing.assert_allclose(a["boxes"][1, 4], np.radians(-15))
+    assert len(ds[1]["boxes"]) == 0  # missing txt → empty labels
+    (root / "f001.txt").write_text("garbage line\n")
+    with pytest.raises(ValueError, match="cx cy w h"):
+        ds[1]
+    with pytest.raises(ValueError, match="no images"):
+        fisheye.HabbofDataset(str(tmp_path / "empty-nowhere"))
+
+
 def test_letterbox_labels_math():
     boxes = np.array([[100.0, 50, 40, 20]], np.float32)
     out = letterbox_labels(boxes, ratio=0.5, pad_x=10, pad_y=20)

@@ -111,5 +111,8 @@ def test_end_to_end_forward_shapes():
     dense, _ = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
     n = sum(h * w for h, w in fcos.level_shapes(128))
     assert dense["boxes"].shape == (1, n, 4)
-    assert dense["scores"].shape == (1, n, 80)
+    # forward_dense emits logits + centerness multiplier (sigmoid
+    # deferred past top-k in the postprocess)
+    assert dense["score_logits"].shape == (1, n, 80)
+    assert dense["score_mul"].shape == (1, n)
     assert np.isfinite(np.asarray(dense["boxes"])).all()

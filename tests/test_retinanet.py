@@ -103,6 +103,23 @@ def test_loss_no_valid_gt():
     assert np.isfinite(float(terms["cls"]))
 
 
+def test_resnet_s2d_stem_matches_standard_path():
+    """The ResNet S2D stem fast path (9×9-s4 phase-folded conv +
+    maxpool over (cell, phase) taps) is an exact rewrite of
+    7×7-s2 conv → BN → ReLU → 3×3-s2 maxpool."""
+    from mydetection_tpu.models import resnet
+
+    params = resnet.init(jax.random.PRNGKey(5), depth=50)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 64, 64, 3)
+                    .astype(np.float32))
+    ref = jax.jit(lambda p, v: resnet.apply(p, v, s2d_stem=False)[0])(params, x)
+    got = jax.jit(lambda p, v: resnet.apply(p, v, s2d_stem=True)[0])(params, x)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(g / scale, r / scale, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_end_to_end_forward_shapes():
     model = get_model("retinanet", input_size=128, compute_dtype=jnp.float32)
@@ -115,7 +132,8 @@ def test_end_to_end_forward_shapes():
     dense, _ = jax.jit(lambda p, x: model.forward_dense(p, x))(params, imgs)
     n = sum(h * w for h, w in retinanet.level_shapes(128)) * 9
     assert dense["boxes"].shape == (1, n, 4)
-    assert dense["scores"].shape == (1, n, 80)
-    # prior-prob bias: untrained scores should sit near 0.01
-    s = np.asarray(dense["scores"])
+    # forward_dense emits LOGITS (sigmoid deferred past top-k in the
+    # postprocess); prior-prob bias puts untrained scores near 0.01
+    assert dense["score_logits"].shape == (1, n, 80)
+    s = 1 / (1 + np.exp(-np.asarray(dense["score_logits"], np.float32)))
     assert 0.001 < np.median(s) < 0.1
