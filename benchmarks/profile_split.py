@@ -156,7 +156,7 @@ def main() -> None:
               flush=True)
 
     ips = args.batch / (rows["full"] / 1000.0)
-    mfu = (YOLOV3_416_GFLOPS / 1000.0) * ips / (V5E_BF16_TFLOPS * 1000.0) \
+    mfu = YOLOV3_416_GFLOPS * ips / (V5E_BF16_TFLOPS * 1000.0) \
         if args.input_size == 416 else None
     record = {
         "batch": args.batch,
