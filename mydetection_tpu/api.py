@@ -36,6 +36,7 @@ from mydetection_tpu.utils.image_ops import (
     boxes_xyxy_to_original,
     detections_to_original,
     letterbox_pil,
+    pack_s2d2,
 )
 
 
@@ -114,6 +115,16 @@ class Detector:
             # Pallas kernels compile on TPU; interpret elsewhere (tests force it).
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Host-side S2D-2 input packing (darknet-backbone families):
+        # the device graph can consume (B, S/2, S/2, 12) uint8 via
+        # phase-folded stem weights (utils/image_ops.pack_s2d2 +
+        # models/darknet.py packed path). Measured NEUTRAL on v5e at
+        # 416² (1739 vs 1743 img/s — XLA already folds the u8
+        # normalize efficiently into the S2D stem), so it stays off by
+        # default: the pack would add host work for no device win.
+        # Callers that pre-pack (e.g. StreamingPipeline(pack_s2d2=True))
+        # are still consumed natively by detect_prepared.
+        self._pack_input = False
         if params is not None:
             self.params = params
         elif weights_path is not None:
@@ -268,6 +279,8 @@ class Detector:
     def _run_batch(self, canvases: np.ndarray, conf_thres: float, nms_iou: float,
                    input_size: int) -> dict:
         run = self._pipeline(input_size)
+        if self._pack_input:
+            canvases = pack_s2d2(np.asarray(canvases))
         out = run(self.params, self._place_batch(canvases),
                   jnp.float32(conf_thres), nms_iou=float(nms_iou))
         return jax.device_get(out)
@@ -354,15 +367,24 @@ class Detector:
     def detect_prepared(self, canvases, infos: Sequence[LetterboxInfo], *,
                         conf_thres: float | None = None,
                         nms_iou: float | None = None) -> list[Detections]:
-        """Detect on already-letterboxed uint8 canvases (B, S, S, 3).
+        """Detect on already-letterboxed uint8 canvases (B, S, S, 3) —
+        or, for darknet-backbone models on TPU, S2D-2 packed canvases
+        (B, S/2, S/2, 12) from `utils.image_ops.pack_s2d2`.
 
         The streaming-inference fast path: canvases may be device-
         resident (from `data.loader.StreamingPipeline`); only the first
         len(infos) rows are real (batches are padded to static shape).
+        Host numpy canvases are packed here automatically when the
+        model uses the packed fast path; device-resident canvases are
+        run in whatever layout the caller staged.
         """
         conf = conf_thres if conf_thres is not None else self.cfg.conf_thres
         iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
-        size = int(canvases.shape[1])
+        if self._pack_input and isinstance(canvases, np.ndarray) \
+                and canvases.shape[-1] == 3:
+            canvases = pack_s2d2(canvases)
+        packed = canvases.shape[-1] == 12
+        size = int(canvases.shape[1]) * (2 if packed else 1)
         run = self._pipeline(size)
         batch = canvases if self.mesh is None else self._place_batch(canvases)
         out = jax.device_get(run(self.params, batch, jnp.float32(conf),

@@ -115,12 +115,17 @@ class StreamingPipeline:
     def __init__(self, paths: Sequence[str], *, input_size: int,
                  batch_size: int = 64, num_threads: int = 4,
                  device_put: bool = True, native: str | bool = "auto",
-                 load_fn: Callable[[str], tuple] | None = None):
+                 load_fn: Callable[[str], tuple] | None = None,
+                 pack_s2d2: bool = False):
         self.paths = list(paths)
         self.input_size = input_size
         self.batch_size = batch_size
         self.num_threads = num_threads
         self.device_put = device_put
+        # stage batches host-packed as S2D-2 (B, S/2, S/2, 12) uint8 —
+        # the TPU darknet-family fast-path layout (Detector._pack_input;
+        # utils/image_ops.pack_s2d2). detect_prepared consumes either.
+        self.pack_s2d2 = pack_s2d2
         # load_fn(path) -> (canvas u8 (S,S,3), LetterboxInfo) overrides
         # the decoder — benchmarks use it to bound overlap with a
         # synthetic (sleep) decode independent of this host's CPU.
@@ -175,6 +180,9 @@ class StreamingPipeline:
             while len(batch_canvases) < self.batch_size:
                 batch_canvases.append(batch_canvases[-1])
             arr = np.stack(batch_canvases)
+            if self.pack_s2d2:
+                from mydetection_tpu.utils.image_ops import pack_s2d2
+                arr = pack_s2d2(arr)
             dev = jax.device_put(arr) if self.device_put else arr
             out = (dev, batch_infos, batch_paths)
             batch_canvases, batch_infos, batch_paths = [], [], []

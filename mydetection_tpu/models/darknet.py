@@ -163,16 +163,27 @@ def _cbl_s2d(p: Params, x, weight_fn, padding, *, stride=1, tiled_bn=True,
     return leaky_relu(y)
 
 
-def _early_s2d(params: Params, x: jnp.ndarray, *, compute_dtype) -> jnp.ndarray:
+def _early_s2d(params: Params, x: jnp.ndarray, *, compute_dtype,
+               packed: bool = False) -> jnp.ndarray:
     """stem → stage0.down → stage0.res0 → stage1.down, all in the 2×2
     space-to-depth domain (see module comment). Returns the ORIGINAL-
     domain (B, H/4, W/4, 128) stage1.down activation, numerically equal
     to the standard path (inference BN). Exactness is pinned by
-    tests/test_models.py::test_darknet_s2d_stem_matches_standard_path."""
+    tests/test_models.py::test_darknet_s2d_stem_matches_standard_path.
+
+    `packed`: x is already host-packed S2D-2 (B, H/2, W/2, 12), see
+    utils/image_ops.pack_s2d2. The stem conv then IS the S2D-in/out
+    3×3 cell conv (`_s2d_conv3_weight`) — no device-side relayout and
+    no C=3-minor input tensor at all. Chain output is identical."""
     s0, s1 = params["stage0"], params["stage1"]
-    # stem: original layout in, S2D(32ch) out — no input relayout
-    y = _cbl_s2d(params["stem"], x, _phase_fold_s1_weight,
-                 [(1, 1), (1, 1)], stride=2, compute_dtype=compute_dtype)
+    if packed:
+        # stem: S2D layout in (12 ch), S2D(4·32) out
+        y = _cbl_s2d(params["stem"], x, _s2d_conv3_weight,
+                     [(1, 1), (1, 1)], compute_dtype=compute_dtype)
+    else:
+        # stem: original layout in, S2D(32ch) out — no input relayout
+        y = _cbl_s2d(params["stem"], x, _phase_fold_s1_weight,
+                     [(1, 1), (1, 1)], stride=2, compute_dtype=compute_dtype)
     # stage0 downsample: S2D → S2D (half the cells)
     y = _cbl_s2d(s0["down"], y, _phase_fold_s2_weight,
                  [(1, 0), (1, 0)], stride=2, compute_dtype=compute_dtype)
@@ -282,12 +293,20 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
     `scan_blocks`: None (auto: scan on TPU) / True / False.
     `s2d_stem`: None (auto: space-to-depth stem fast path on TPU
     inference) / True / False — same math either way (tested).
+
+    x with 12 channels means host-packed S2D-2 input (see
+    utils/image_ops.pack_s2d2): inference-only, forces the S2D chain.
     """
     updates: Params = {}
-    s2d = _use_s2d(s2d_stem, train, x)
+    packed = x.shape[-1] == 12
+    if packed and train:
+        raise ValueError("packed S2D-2 input is an inference-only fast "
+                         "path (BN batch stats need the original layout)")
+    s2d = packed or _use_s2d(s2d_stem, train, x)
     if s2d:
         # stem + stage0 + stage1.down in one space-to-depth chain
-        y = _early_s2d(params, x, compute_dtype=compute_dtype)
+        y = _early_s2d(params, x, compute_dtype=compute_dtype,
+                       packed=packed)
     else:
         y, s = conv_bn_leaky(params["stem"], x, train=train,
                              compute_dtype=compute_dtype)

@@ -67,6 +67,29 @@ def letterbox_np(img: np.ndarray, input_size: int) -> tuple[np.ndarray, Letterbo
     return letterbox_pil(Image.fromarray(img), input_size)
 
 
+def pack_s2d2(canvases: np.ndarray) -> np.ndarray:
+    """Host-side 2×2 space-to-depth pack: (B, H, W, 3) uint8 →
+    (B, H/2, W/2, 12) uint8, phase-major channels (pi·2+pj)·3+c.
+
+    TPU inference fast path: a C=3-minor uint8 tensor is pathological
+    on the 128-lane VPU (the device-side normalize materializes a
+    42×-padded layout); packed C=12 cuts that waste 4× AND lets the
+    stem conv consume 12 input channels instead of 3. The device graph
+    consumes this layout directly via phase-folded stem weights
+    (models/darknet.py `_s2d_conv3_weight`) — numerically identical to
+    the unpacked path (pinned by tests/test_models.py). Pure memory
+    shuffle: no pixel math, letterbox geometry is unaffected.
+    """
+    b, h, w, c = canvases.shape
+    if h % 2 or w % 2 or c != 3:
+        raise ValueError(f"pack_s2d2 needs (B, even H, even W, 3), got "
+                         f"{canvases.shape}")
+    return np.ascontiguousarray(
+        canvases.reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w // 2, 4 * c))
+
+
 def detections_to_original(dets: np.ndarray, info: LetterboxInfo) -> np.ndarray:
     """Map detections from network coords back to original image coords.
 

@@ -4,6 +4,7 @@ gradients (SURVEY.md §4.1 golden decode; §4 strategy)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mydetection_tpu.models import darknet, yolov3
 from mydetection_tpu.registry import get_model
@@ -39,6 +40,33 @@ def test_darknet_s2d_stem_matches_standard_path():
                         .astype(np.float32))
     assert not darknet._use_s2d(True, False, x_odd)
     assert not darknet._use_s2d(None, True, x)  # train mode: BN stats
+
+
+def test_darknet_packed_s2d2_input_matches_standard_path():
+    """Host-packed S2D-2 uint8 input (B, H/2, W/2, 12) must produce
+    the same features as the unpacked standard path: the pack is a
+    pure relayout and the stem weight fold (_s2d_conv3_weight) is an
+    exact rewrite. This pins the TPU inference fast path end to end,
+    including uint8 normalize on the packed layout."""
+    from mydetection_tpu.models import layers as L
+    from mydetection_tpu.utils.image_ops import pack_s2d2
+
+    params = darknet.init(jax.random.PRNGKey(3))
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3),
+                                            np.uint8)
+    xf = L.normalize_input(jnp.asarray(imgs))
+    ref = jax.jit(lambda p, v: darknet.apply(p, v, s2d_stem=False)[0])(
+        params, xf)
+    xp = L.normalize_input(jnp.asarray(pack_s2d2(imgs)))
+    got = jax.jit(lambda p, v: darknet.apply(p, v)[0])(params, xp)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(g / scale, r / scale, atol=1e-5)
+    # packed input is inference-only: train mode must refuse, not
+    # silently compute BN stats over phase-split channels
+    with pytest.raises(ValueError):
+        darknet.apply(params, xp, train=True)
 
 
 def test_darknet_train_mode_returns_bn_updates():
