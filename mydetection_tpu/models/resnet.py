@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from mydetection_tpu.models.layers import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
     KeyGen,
     Params,
     batch_norm,
@@ -89,6 +91,57 @@ def _stem_s2d(stem: Params, x: jnp.ndarray, *, compute_dtype) -> jnp.ndarray:
     return _maxpool_s2d_exit(y, stem["conv"]["w"].shape[-1])
 
 
+def _stem_standardize_folded(stem: Params, x_raw: jnp.ndarray, *,
+                             compute_dtype) -> jnp.ndarray:
+    """7×7-s2 stem conv with the `/255` normalize AND the ImageNet
+    mean/std standardize folded into the conv weights — the input is
+    the RAW uint8-cast batch (values 0..255), so no C=3-minor
+    elementwise pass ever materializes (measured: 5.60 → 4.40 ms per
+    batch-32 @608 on v5e for normalize+stem+pool).
+
+    Exact, including borders: XLA zero-pads the RAW input, but the
+    standard path zero-pads the STANDARDIZED tensor (i.e. raw value
+    255·mean). The difference is a per-tap constant, so the affected
+    output rows/cols (0, 1, last — pad 3, stride 2) get a closed-form
+    correction added before BN. Pinned against the standard path in
+    tests/test_models.py.
+
+    y = conv(x_raw, w/(255σ)) − Σ_taps w·(μ/σ)  [+ border corrections]
+    """
+    w = stem["conv"]["w"]                                   # (7,7,3,64)
+    inv = (jnp.asarray(IMAGENET_MEAN, w.dtype)
+           / jnp.asarray(IMAGENET_STD, w.dtype))            # μ/σ (3,)
+    wf = w / (255.0 * jnp.asarray(IMAGENET_STD, w.dtype)[:, None])
+    tap = jnp.einsum("hwic,i->hwc", w, inv)                 # (7,7,C)
+    b0 = -jnp.sum(tap, axis=(0, 1))                         # (C,)
+    y = conv2d(x_raw, wf, stride=2, compute_dtype=compute_dtype)
+    y = y + b0.astype(y.dtype)
+    # border corrections: +Σ_{OOB taps} w·μ/σ. For pad 3 / stride 2 /
+    # even H, the out-of-bounds tap rows are: row 0 → di∈{0,1,2},
+    # row 1 → di∈{0}, last row → di∈{5,6} (cols identical).
+    r0 = jnp.sum(tap[0:3], axis=(0, 1)).astype(y.dtype)
+    r1 = jnp.sum(tap[0:1], axis=(0, 1)).astype(y.dtype)
+    rl = jnp.sum(tap[5:7], axis=(0, 1)).astype(y.dtype)
+    c0 = jnp.sum(tap[:, 0:3], axis=(0, 1)).astype(y.dtype)
+    c1 = jnp.sum(tap[:, 0:1], axis=(0, 1)).astype(y.dtype)
+    cl = jnp.sum(tap[:, 5:7], axis=(0, 1)).astype(y.dtype)
+    for i, r in ((0, r0), (1, r1), (-1, rl)):
+        y = y.at[:, i, :, :].add(r)
+    for j, c in ((0, c0), (1, c1), (-1, cl)):
+        y = y.at[:, :, j, :].add(c)
+    # corners were double-counted: both-OOB taps (row-set ∩ col-set)
+    # were added once by the row strip and once by the col strip but
+    # belong once — subtract the overlap term.
+    rsets = {0: (0, 3), 1: (0, 1), -1: (5, 7)}
+    for i, (ra, rb) in rsets.items():
+        for j, (ca, cb) in rsets.items():
+            both = jnp.sum(tap[ra:rb, ca:cb], axis=(0, 1)).astype(y.dtype)
+            y = y.at[:, i, j, :].add(-both)
+    y, _ = batch_norm(y, stem["bn"], train=False)
+    y = jnp.maximum(y, 0.0)
+    return max_pool(y, 3, 2)
+
+
 def _conv_bn_init(rng, k, c_in, c_out) -> Params:
     return {"conv": conv_init(rng, k, c_in, c_out), "bn": bn_init(c_out)}
 
@@ -156,7 +209,8 @@ def _bottleneck(p: Params, x, *, stride: int, train, compute_dtype):
 
 def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
           train: bool = False, compute_dtype=None,
-          scan_blocks: bool | None = None, s2d_stem: bool | None = None):
+          scan_blocks: bool | None = None, s2d_stem: bool | None = None,
+          stem_fold_std: bool = False):
     """NHWC float batch → (C3, C4, C5), plus BN-update tree.
 
     `scan_blocks`: None (auto: scan on TPU — see darknet._use_scan for
@@ -167,10 +221,20 @@ def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
     conv from a 3-channel input runs even colder than the 7×7 it
     replaces, unlike the darknet 4×4 case). Default/None = off; kept
     as an opt-in for future hardware where the tradeoff flips.
+    `stem_fold_std`: x is the RAW uint8-cast batch (0..255) and the
+    `/255` + ImageNet standardize are folded into the stem conv
+    (exact incl. borders; inference fast path — see
+    _stem_standardize_folded). Mutually exclusive with `s2d_stem`.
     """
     from mydetection_tpu.models.darknet import _use_scan
     updates: Params = {}
-    if s2d_stem is True and not train \
+    if stem_fold_std:
+        if train:
+            raise ValueError("stem_fold_std is an inference-only fast "
+                             "path (train updates BN batch stats)")
+        y = _stem_standardize_folded(params["stem"], x,
+                                     compute_dtype=compute_dtype)
+    elif s2d_stem is True and not train \
             and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
         y = _stem_s2d(params["stem"], x, compute_dtype=compute_dtype)
     else:

