@@ -65,7 +65,8 @@ def main(batch: int = 32, iters: int = 5, input_size: int = 416,
         out = jax.vmap(lambda d: postprocess_impl(
             d["boxes"], d["scores"], classes=d.get("classes"),
             conf_thres=0.3, iou_thres=0.45, use_pallas=on_tpu,
-            multi_label=model.config.multi_label))(dense)
+            multi_label=model.config.multi_label,
+            approx_topk=model.config.approx_topk))(dense)
         # scalar checksum: forces the full chain when fetched
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 

@@ -246,14 +246,16 @@ class Detector:
                 return rotated_postprocess_impl(
                     d["boxes"], d["scores"], conf_thres=conf_thres,
                     iou_thres=nms_iou, pre_nms=cfg.pre_nms,
-                    max_dets=cfg.max_dets, use_pallas=use_pallas)
+                    max_dets=cfg.max_dets, use_pallas=use_pallas,
+                    approx_topk=cfg.approx_topk)
             return postprocess_impl(
                 d["boxes"], d.get("scores"), classes=d.get("classes"),
                 score_logits=d.get("score_logits"),
                 score_mul=d.get("score_mul"),
                 conf_thres=conf_thres, iou_thres=nms_iou,
                 pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
-                use_pallas=use_pallas, multi_label=cfg.multi_label)
+                use_pallas=use_pallas, multi_label=cfg.multi_label,
+                approx_topk=cfg.approx_topk)
 
         if use_pallas:
             @functools.partial(jax.jit, static_argnames=("nms_iou",))

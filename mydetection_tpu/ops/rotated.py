@@ -309,16 +309,22 @@ def rotated_nms_padded_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 def rotated_postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                         conf_thres: float, iou_thres: float,
                         pre_nms: int = 512, max_dets: int = 100,
-                        block: int = 64, use_pallas: bool = False) -> dict:
+                        block: int = 64, use_pallas: bool = False,
+                        approx_topk: bool = False) -> dict:
     """Dense rotated predictions → padded detections (static shapes).
 
     boxes (N, 5) = (cx, cy, w, h, θ_rad); scores (N,) single-class
     (RAPiD is person-only [recalled; SURVEY.md §2.7b]).
+
+    `approx_topk` applies only to this pre-NMS candidate select (the
+    final post-NMS top-max_dets stays exact) — see ops/nms.topk_select.
     """
+    from mydetection_tpu.ops.nms import topk_select
+
     n = scores.shape[0]
     flat = jnp.where(scores >= conf_thres, scores, NEG_INF)
     k = min(pre_nms, n)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
+    top_scores, top_idx = topk_select(flat, k, approx_topk)
     if k < pre_nms:
         pad = pre_nms - k
         top_scores = jnp.concatenate([top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
@@ -344,4 +350,4 @@ rotated_nms_padded = jax.jit(rotated_nms_padded_impl,
 rotated_postprocess = jax.jit(
     rotated_postprocess_impl,
     static_argnames=("iou_thres", "pre_nms", "max_dets", "block",
-                     "use_pallas"))
+                     "use_pallas", "approx_topk"))

