@@ -1,0 +1,117 @@
+"""int8-vs-bf16 device benchmark for the static-scale quant path.
+
+Measures the FULL detect pipeline (uint8 in -> forward -> decode ->
+top-k -> NMS) with the float params vs the QuantizedParams produced by
+quant.quantize_model, using the same two-batch lax.scan protocol as
+bench.py (the only honest timing through the axon tunnel — see
+bench.py docstring). Run as an untimed background task on TPU.
+
+Usage: python benchmarks/quant_bench.py [model] [size] [batch]
+Writes benchmarks/quant_bench.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench(model_name: str = "yolov3", input_size: int = 416,
+          batch: int = 32, iters: int = 5, scan_batches: int = 40) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mydetection_tpu import quant
+    from mydetection_tpu.ops.nms import postprocess_impl
+    from mydetection_tpu.registry import dense_from_raw, get_model
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if not on_tpu:
+        scan_batches = 1
+    model = get_model(model_name, input_size=input_size,
+                      compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    cfg = model.config
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    calib = [rng.randint(0, 256, (2, input_size, input_size, 3), np.uint8)
+             for _ in range(2)]
+    qp = quant.quantize_model(cfg, params, calib)
+
+    def post(dense):
+        return jax.vmap(lambda d: postprocess_impl(
+            d["boxes"], d["scores"], classes=d.get("classes"),
+            conf_thres=0.3, iou_thres=0.45, use_pallas=on_tpu,
+            multi_label=cfg.multi_label, rotated=cfg.family == "rapid",
+            approx_topk=cfg.approx_topk))(dense)
+
+    def detect_float(p, x):
+        dense, _ = model.forward_dense(p, x)
+        out = post(dense)
+        return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
+
+    def detect_q(p, x):
+        raw = quant.forward_raw(p, x, compute_dtype=cfg.compute_dtype)
+        out = post(dense_from_raw(raw, cfg))
+        return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
+
+    imgs = jnp.asarray(rng.randint(
+        0, 255, (2, batch, input_size, input_size, 3), np.uint8))
+
+    results = {}
+    for label, fn, p in (("bf16", detect_float, params),
+                         ("int8", detect_q, qp)):
+        @functools.partial(jax.jit, static_argnames=("g",))
+        def scan(p, two, g, fn=fn):
+            def body(acc, i):
+                x = jax.lax.dynamic_index_in_dim(two, i % 2, 0, keepdims=False)
+                return acc + fn(p, x), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(g))
+            return acc
+
+        float(scan(p, imgs, scan_batches))
+        float(scan(p, imgs, scan_batches))
+        t0 = time.perf_counter()
+        acc, prev = 0.0, None
+        for _ in range(iters):
+            out = scan(p, imgs, scan_batches)
+            if prev is not None:
+                acc += float(prev)
+            prev = out
+        acc += float(prev)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(acc)
+        ips = batch * scan_batches * iters / dt
+        results[label] = round(ips, 2)
+        print(f"{model_name}-{input_size} {label}: {ips:.1f} img/s", flush=True)
+
+    results.update(model=model_name, input_size=input_size, batch=batch,
+                   backend=backend,
+                   speedup=round(results["int8"] / results["bf16"], 3))
+    return results
+
+
+if __name__ == "__main__":
+    name = sys.argv[1] if len(sys.argv) > 1 else "yolov3"
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 416
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    row = bench(name, size, b)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "quant_bench.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as fh:
+            data = json.load(fh)
+            existing = data if isinstance(data, list) else [data]
+    existing = [r for r in existing
+                if (r.get("model"), r.get("input_size"), r.get("batch"))
+                != (row["model"], row["input_size"], row["batch"])]
+    existing.append(row)
+    with open(out, "w") as fh:
+        json.dump(existing, fh, indent=1)
+    print(json.dumps(row), flush=True)

@@ -108,7 +108,8 @@ class Detector:
 
     def __init__(self, model_name: str = "yolov3", weights_path: str | None = None,
                  *, params=None, rng_seed: int = 0, use_pallas: bool | None = None,
-                 data_parallel: bool = False, **config_overrides):
+                 data_parallel: bool = False, quantized: bool = False,
+                 calib_images: Sequence | None = None, **config_overrides):
         self.model: Model = get_model(model_name, **config_overrides)
         self.cfg = self.model.config
         if use_pallas is None:
@@ -132,6 +133,15 @@ class Detector:
         else:
             self.params = fast_init(self.model, jax.random.PRNGKey(rng_seed))
         self._jitted: dict[tuple, callable] = {}
+        # opt-in int8 serving path (darknet families; see quant.py):
+        # BN-folded per-channel int8 weights + static activation scales
+        # from a calibration pass. `calib_images` = images (paths / PIL /
+        # np arrays) letterboxed to the serving size; None falls back to
+        # noise calibration, which keeps the pipeline functional but
+        # costs mAP — calibrate on real data for accuracy.
+        self._q = None
+        if quantized:
+            self._q = self._quantize(calib_images)
         # data-parallel inference over all local chips ([spec]: batch
         # sharding over the slice mesh — per-image work is independent,
         # so sharding the batch axis is the whole story)
@@ -141,6 +151,28 @@ class Detector:
 
             self.mesh = make_mesh()
             self.params = replicate(self.params, self.mesh)
+            if self._q is not None:
+                self._q = replicate(self._q, self.mesh)
+
+    def _quantize(self, calib_images):
+        from mydetection_tpu import quant
+
+        size = self.cfg.input_size
+        if calib_images is None:
+            rng = np.random.RandomState(0)
+            batches = [rng.randint(0, 256, (2, size, size, 3), np.uint8)
+                       for _ in range(2)]
+        else:
+            canvases = []
+            for img in calib_images:
+                pil = _load_image(
+                    img_path=img if isinstance(img, str) else None,
+                    np_img=img if isinstance(img, np.ndarray) else None,
+                    pil_img=img if not isinstance(img, (str, np.ndarray)) else None)
+                canvas, _ = letterbox_pil(pil, size)
+                canvases.append(canvas)
+            batches = [np.stack(canvases)]
+        return quant.quantize_model(self.cfg, self.params, batches)
 
     def _load_weights(self, path: str, rng_seed: int):
         """Load weights by format, mirroring what a reference user has:
@@ -235,10 +267,20 @@ class Detector:
         4 minutes (measured 264 s); split graphs compile in ~17 s total
         and cost nothing extra since buffers share host memory.
         """
-        key = (input_size, self.use_pallas)
+        key = (input_size, self.use_pallas, self._q is not None)
         if key in self._jitted:
             return self._jitted[key]
         model, cfg, use_pallas = self.model, self.cfg, self.use_pallas
+        if self._q is not None:
+            from mydetection_tpu import quant
+            from mydetection_tpu.registry import dense_from_raw
+
+            def forward_dense(p, images):
+                raw = quant.forward_raw(p, images,
+                                        compute_dtype=cfg.compute_dtype)
+                return dense_from_raw(raw, cfg), None
+        else:
+            forward_dense = model.forward_dense
 
         def post_one(d: dict, conf_thres, nms_iou):
             """d: per-image dense dict (boxes + scores | score_logits)."""
@@ -260,11 +302,11 @@ class Detector:
         if use_pallas:
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
             def run(params, images_u8, conf_thres, nms_iou):
-                dense, _ = model.forward_dense(params, images_u8)
+                dense, _ = forward_dense(params, images_u8)
                 return jax.vmap(
                     lambda d: post_one(d, conf_thres, nms_iou))(dense)
         else:
-            fwd = jax.jit(lambda params, images: model.forward_dense(params, images)[0])
+            fwd = jax.jit(lambda params, images: forward_dense(params, images)[0])
 
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
             def post_batch(dense, conf_thres, nms_iou):
@@ -283,7 +325,8 @@ class Detector:
         run = self._pipeline(input_size)
         if self._pack_input:
             canvases = pack_s2d2(np.asarray(canvases))
-        out = run(self.params, self._place_batch(canvases),
+        p = self.params if self._q is None else self._q
+        out = run(p, self._place_batch(canvases),
                   jnp.float32(conf_thres), nms_iou=float(nms_iou))
         return jax.device_get(out)
 

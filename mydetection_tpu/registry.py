@@ -146,6 +146,30 @@ def fast_init(model: "Model", rng: jax.Array):
 # YOLOv3
 # ---------------------------------------------------------------------------
 
+def dense_from_raw(raw, cfg: ModelConfig) -> dict:
+    """Darknet-family raw head outputs [P5, P4, P3] → the dense dict
+    `forward_dense` returns (boxes xyxy + scores [+ classes]). The ONE
+    decode-glue definition, shared by the float builders below and the
+    int8 path (quant.forward_raw produces the same raw layout)."""
+    from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
+
+    if cfg.family == "rapid":
+        from mydetection_tpu.models import rapid
+        anchors = cfg.anchors if cfg.anchors is not None else rapid.ANCHORS
+        decoded = rapid.decode(raw, anchors=anchors)
+        return {"boxes": decoded["boxes5"], "scores": decoded["conf"]}
+    anchors = cfg.anchors if cfg.anchors is not None else yolov3.ANCHORS
+    nc = cfg.num_classes
+    if cfg.multi_label:
+        decoded = yolov3.decode(raw, nc, anchors=anchors)
+        return {"boxes": cxcywh_to_xyxy(decoded["boxes"]),
+                "scores": yolov3.scores_from(decoded)}
+    decoded = yolov3.decode_single_label(raw, nc, anchors=anchors)
+    return {"boxes": cxcywh_to_xyxy(decoded["boxes"]),
+            "scores": decoded["scores"],
+            "classes": decoded["classes"]}
+
+
 def _build_yolov3(cfg: ModelConfig) -> Model:
     nc = cfg.num_classes
     anchors = cfg.anchors if cfg.anchors is not None else yolov3.ANCHORS
@@ -167,16 +191,7 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
                                   compute_dtype=cfg.compute_dtype)
         raw, hu = yolov3.apply(params["head"], feats, train=train,
                                compute_dtype=cfg.compute_dtype)
-        from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
-        if cfg.multi_label:
-            decoded = yolov3.decode(raw, nc, anchors=anchors)
-            dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),  # xyxy for NMS
-                     "scores": yolov3.scores_from(decoded)}
-        else:
-            decoded = yolov3.decode_single_label(raw, nc, anchors=anchors)
-            dense = {"boxes": cxcywh_to_xyxy(decoded["boxes"]),
-                     "scores": decoded["scores"],
-                     "classes": decoded["classes"]}
+        dense = dense_from_raw(raw, cfg)
         updates = None
         if train:
             updates = {"backbone": bu, "head": hu}
@@ -311,9 +326,8 @@ def _build_rapid(cfg: ModelConfig) -> Model:
 
     def forward_dense(params, images, *, train: bool = False):
         raw, updates = forward_raw(params, images, train=train)
-        decoded = rapid.decode(raw, anchors=anchors)
         # rotated models: "boxes" carries (cx, cy, w, h, θ); "scores" (B, N)
-        return {"boxes": decoded["boxes5"], "scores": decoded["conf"]}, updates
+        return dense_from_raw(raw, cfg), updates
 
     def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
              input_size: int | None = None):

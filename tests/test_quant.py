@@ -1,0 +1,142 @@
+"""Static-scale int8 quantization (mydetection_tpu/quant.py).
+
+Gates: exact BN fold, scan/unroll bitwise agreement, quantized forward
+close to the float forward (quant-error bounded), and the Detector
+integration path. All on the CPU backend (conftest) — int8 convs are
+exact there (verified: int32 accum equals the f32 conv bit-for-bit on
+integer inputs).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mydetection_tpu import quant
+from mydetection_tpu.models import darknet, yolov3
+from mydetection_tpu.models.layers import conv2d, conv_bn_leaky, leaky_relu
+from mydetection_tpu.registry import get_model
+
+SIZE = 96
+
+
+@pytest.fixture(scope="module")
+def small_yolo():
+    model = get_model("yolov3", input_size=SIZE, num_classes=8,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batches = [rng.randint(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+               for _ in range(2)]
+    qp = quant.quantize_model(model.config, params, batches)
+    return model, params, batches, qp
+
+
+def test_fold_cbl_exact():
+    """conv(w·s)+shift ≡ BN(conv(w)) at inference — relative 1e-5
+    (f32 reassociation only; BN stats randomized so the fold is
+    actually exercised)."""
+    rng = jax.random.PRNGKey(3)
+    ks = jax.random.split(rng, 6)
+    p = {"conv": {"w": 0.05 * jax.random.normal(ks[0], (3, 3, 32, 64))},
+         "bn": {"scale": 1.0 + 0.3 * jax.random.normal(ks[1], (64,)),
+                "bias": jax.random.normal(ks[2], (64,)),
+                "mean": jax.random.normal(ks[3], (64,)),
+                "var": jnp.exp(jax.random.normal(ks[4], (64,)))}}
+    x = jax.random.normal(ks[5], (2, 16, 16, 32))
+    ref, _ = conv_bn_leaky(p, x, stride=2)
+    f = quant.fold_cbl(p)
+    got = leaky_relu(conv2d(x, f["wf"], stride=2) + f["bias"])
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-8
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=1e-5)
+
+
+def test_weight_quant_roundtrip_error_bound():
+    w = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (3, 3, 16, 32))
+    wq, ws = quant.quantize_weight(w)
+    deq = wq.astype(jnp.float32) * ws
+    # symmetric per-channel: error ≤ half a quantization step per channel
+    err = jnp.max(jnp.abs(deq - w), axis=(0, 1, 2))
+    assert bool(jnp.all(err <= 0.5 * ws + 1e-9))
+
+
+def test_quantized_forward_close_to_float(small_yolo):
+    """End-to-end raw head outputs: int8 chain vs float chain. On a
+    RANDOM-init net the activations explode through 50 layers (worst
+    case for PTQ); cosine ≥ 0.99 and rel-RMS ≤ 15% still holds — on a
+    trained net (BN-controlled scales) the error is far smaller."""
+    model, params, batches, qp = small_yolo
+    x_u8 = jnp.asarray(batches[0])
+    raw_q = quant.forward_raw(qp, x_u8, compute_dtype=jnp.float32)
+    xf = x_u8.astype(jnp.float32) / 255.0
+    feats, _ = darknet.apply(params["backbone"], xf, compute_dtype=jnp.float32)
+    raw_f, _ = yolov3.apply(params["head"], feats, compute_dtype=jnp.float32)
+    for q, r in zip(raw_q, raw_f):
+        q = np.asarray(q, np.float64)
+        r = np.asarray(r, np.float64)
+        cos = (q * r).sum() / (np.linalg.norm(q) * np.linalg.norm(r) + 1e-12)
+        rel = np.sqrt(((q - r) ** 2).mean()) / (np.sqrt((r ** 2).mean()) + 1e-12)
+        assert cos > 0.99, cos
+        assert rel < 0.15, rel
+
+
+def test_quant_scan_matches_unrolled(small_yolo):
+    """The lax.scan-stacked res stages must be BITWISE identical to the
+    unrolled walk (same int8 ops, different control flow). Compared
+    under ONE jit: eager mode compiles each op separately and its
+    dequant arithmetic can round differently (FMA fusion) than the
+    scan body's fused epilogue, flipping round() at .5 boundaries —
+    within a single compilation XLA treats both paths identically
+    (measured maxabs 0 on all three heads)."""
+    model, params, batches, qp = small_yolo
+    x_u8 = jnp.asarray(batches[1])
+
+    @jax.jit
+    def both(qp, x):
+        y = quant._prologue(qp.backbone_float, x, jnp.float32)
+        r_un = quant._region(
+            quant._QuantBE(qp.scales, jnp.float32, scan_blocks=False),
+            qp.qb, qp.qh, y)
+        r_sc = quant._region(
+            quant._QuantBE(qp.scales, jnp.float32, scan_blocks=True),
+            qp.qb, qp.qh, y)
+        return r_un, r_sc
+
+    r_un, r_sc = both(qp, x_u8)
+    for a, b in zip(r_un, r_sc):
+        assert bool(jnp.all(a == b))
+
+
+def test_quantize_rejects_resnet_families():
+    model = get_model("retinanet", input_size=64, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="darknet families"):
+        quant.quantize_model(model.config, {}, [])
+
+
+def test_detector_quantized_end_to_end(small_yolo):
+    """Detector(quantized=True): detections from the int8 pipeline must
+    closely match the float pipeline's on the same image (same boxes
+    within a few px for confidently-detected objects). Uses the float
+    detector's params so weights are shared."""
+    from mydetection_tpu.api import Detector
+
+    model, params, batches, qp = small_yolo
+    det_f = Detector(model_name="yolov3", params=params, input_size=SIZE,
+                     num_classes=8, compute_dtype=jnp.float32)
+    det_q = Detector(model_name="yolov3", params=params, input_size=SIZE,
+                     num_classes=8, compute_dtype=jnp.float32,
+                     quantized=True,
+                     calib_images=[batches[0][0], batches[0][1]])
+    img = batches[1][0]
+    df = det_f.detect_one(np_img=img, conf_thres=0.5)
+    dq = det_q.detect_one(np_img=img, conf_thres=0.5)
+    assert len(dq) > 0  # random-init sigmoid(large logits) detects plenty
+    # the top-scoring detections should agree on location: compare the
+    # best-IoU match for each of the float pipeline's top-5 boxes
+    from mydetection_tpu.ops.boxes import pairwise_iou
+    if len(df) and len(dq):
+        ious = np.asarray(pairwise_iou(jnp.asarray(df.boxes_xyxy[:5]),
+                                       jnp.asarray(dq.boxes_xyxy)))
+        assert float(ious.max(axis=1).min()) > 0.5
