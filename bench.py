@@ -146,6 +146,32 @@ def _family_lines() -> None:
             traceback.print_exc()
 
 
+def _int8_line() -> None:
+    """Opt-in int8 PTQ serving-path number (quant.py) as an extra
+    tracked line. The float flagship stays the headline (last line) —
+    int8 is not mAP-neutral, so the apples-to-apples number vs the
+    float CPU reference is the bf16 one. TPU-only, guarded."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    import traceback
+
+    from benchmarks.quant_bench import bench as quant_bench
+
+    try:
+        row = quant_bench("yolov3", 416, 32, iters=4)
+        print(json.dumps({
+            "metric": "yolov3-416 int8-PTQ images/sec/chip @ batch 32 (tpu)",
+            "value": row["int8"],
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception:
+        traceback.print_exc()
+
+
 if __name__ == "__main__":
     _family_lines()
+    _int8_line()
     main()

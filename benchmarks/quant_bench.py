@@ -28,6 +28,7 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
 
     from mydetection_tpu import quant
     from mydetection_tpu.ops.nms import postprocess_impl
+    from mydetection_tpu.ops.rotated import rotated_postprocess_impl
     from mydetection_tpu.registry import dense_from_raw, get_model
 
     backend = jax.default_backend()
@@ -43,12 +44,20 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
              for _ in range(2)]
     qp = quant.quantize_model(cfg, params, calib)
 
+    def post_one(d):
+        if cfg.rotated:
+            return rotated_postprocess_impl(
+                d["boxes"], d["scores"], conf_thres=0.3, iou_thres=0.45,
+                pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
+                use_pallas=on_tpu, approx_topk=cfg.approx_topk)
+        return postprocess_impl(
+            d["boxes"], d.get("scores"), classes=d.get("classes"),
+            conf_thres=0.3, iou_thres=0.45, pre_nms=cfg.pre_nms,
+            max_dets=cfg.max_dets, use_pallas=on_tpu,
+            multi_label=cfg.multi_label, approx_topk=cfg.approx_topk)
+
     def post(dense):
-        return jax.vmap(lambda d: postprocess_impl(
-            d["boxes"], d["scores"], classes=d.get("classes"),
-            conf_thres=0.3, iou_thres=0.45, use_pallas=on_tpu,
-            multi_label=cfg.multi_label, rotated=cfg.family == "rapid",
-            approx_topk=cfg.approx_topk))(dense)
+        return jax.vmap(post_one)(dense)
 
     def detect_float(p, x):
         dense, _ = model.forward_dense(p, x)
