@@ -160,7 +160,7 @@ def _int8_line() -> None:
     from benchmarks.quant_bench import bench as quant_bench
 
     try:
-        row = quant_bench("yolov3", 416, 32, iters=4)
+        row = quant_bench("yolov3", 416, 32, iters=4, modes=("int8",))
         print(json.dumps({
             "metric": "yolov3-416 int8-PTQ images/sec/chip @ batch 32 (tpu)",
             "value": row["int8"],

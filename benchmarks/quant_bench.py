@@ -22,7 +22,8 @@ import numpy as np
 
 
 def bench(model_name: str = "yolov3", input_size: int = 416,
-          batch: int = 32, iters: int = 5, scan_batches: int = 40) -> dict:
+          batch: int = 32, iters: int = 5, scan_batches: int = 40,
+          modes: tuple = ("bf16", "int8")) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -75,6 +76,8 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
     results = {}
     for label, fn, p in (("bf16", detect_float, params),
                          ("int8", detect_q, qp)):
+        if label not in modes:
+            continue
         @functools.partial(jax.jit, static_argnames=("g",))
         def scan(p, two, g, fn=fn):
             def body(acc, i):
@@ -100,8 +103,9 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
         print(f"{model_name}-{input_size} {label}: {ips:.1f} img/s", flush=True)
 
     results.update(model=model_name, input_size=input_size, batch=batch,
-                   backend=backend,
-                   speedup=round(results["int8"] / results["bf16"], 3))
+                   backend=backend)
+    if "bf16" in results and "int8" in results:
+        results["speedup"] = round(results["int8"] / results["bf16"], 3)
     return results
 
 
