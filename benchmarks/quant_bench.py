@@ -30,7 +30,7 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
     from mydetection_tpu import quant
     from mydetection_tpu.ops.nms import postprocess_impl
     from mydetection_tpu.ops.rotated import rotated_postprocess_impl
-    from mydetection_tpu.registry import dense_from_raw, get_model
+    from mydetection_tpu.registry import get_model
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -53,6 +53,7 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
                 use_pallas=on_tpu, approx_topk=cfg.approx_topk)
         return postprocess_impl(
             d["boxes"], d.get("scores"), classes=d.get("classes"),
+            score_logits=d.get("score_logits"), score_mul=d.get("score_mul"),
             conf_thres=0.3, iou_thres=0.45, pre_nms=cfg.pre_nms,
             max_dets=cfg.max_dets, use_pallas=on_tpu,
             multi_label=cfg.multi_label, approx_topk=cfg.approx_topk)
@@ -66,8 +67,7 @@ def bench(model_name: str = "yolov3", input_size: int = 416,
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
     def detect_q(p, x):
-        raw = quant.forward_raw(p, x, compute_dtype=cfg.compute_dtype)
-        out = post(dense_from_raw(raw, cfg))
+        out = post(quant.forward_dense_quantized(p, x, cfg))
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
     imgs = jnp.asarray(rng.randint(

@@ -133,7 +133,8 @@ class Detector:
         else:
             self.params = fast_init(self.model, jax.random.PRNGKey(rng_seed))
         self._jitted: dict[tuple, callable] = {}
-        # opt-in int8 serving path (darknet families; see quant.py):
+        # opt-in int8 serving path (all four families; see quant.py /
+        # quant_resnet.py):
         # BN-folded per-channel int8 weights + static activation scales
         # from a calibration pass. `calib_images` = images (paths / PIL /
         # np arrays) letterboxed to the serving size; None falls back to
@@ -273,12 +274,9 @@ class Detector:
         model, cfg, use_pallas = self.model, self.cfg, self.use_pallas
         if self._q is not None:
             from mydetection_tpu import quant
-            from mydetection_tpu.registry import dense_from_raw
 
             def forward_dense(p, images):
-                raw = quant.forward_raw(p, images,
-                                        compute_dtype=cfg.compute_dtype)
-                return dense_from_raw(raw, cfg), None
+                return quant.forward_dense_quantized(p, images, cfg), None
         else:
             forward_dense = model.forward_dense
 

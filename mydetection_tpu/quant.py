@@ -422,14 +422,18 @@ def calibrate(params: Params, batches: Iterable[np.ndarray], *,
     return maxes
 
 
-def quantize_model(cfg, params: Params,
-                   calib_batches: Iterable[np.ndarray]) -> QuantizedParams:
-    """Fold, calibrate, and quantize a darknet-family model's params."""
+def quantize_model(cfg, params: Params, calib_batches: Iterable[np.ndarray]):
+    """Fold, calibrate, and quantize a model's params. Dispatches by
+    family: darknet families here, ResNet-FPN families to
+    quant_resnet.py. Returns the family's QuantizedParams pytree."""
     if cfg.family not in QUANT_FAMILIES:
+        from mydetection_tpu import quant_resnet
+        if cfg.family in quant_resnet.RESNET_QUANT_FAMILIES:
+            return quant_resnet.quantize_model(cfg, params, calib_batches)
         raise ValueError(
-            f"int8 quantization supports the darknet families "
-            f"{QUANT_FAMILIES}; '{cfg.name}' (family '{cfg.family}') uses "
-            "a ResNet-FPN backbone — run it in bf16 (the default)")
+            f"int8 quantization supports families "
+            f"{QUANT_FAMILIES + quant_resnet.RESNET_QUANT_FAMILIES}; "
+            f"'{cfg.name}' has family '{cfg.family}'")
     maxes = calibrate(params, calib_batches, compute_dtype=cfg.compute_dtype)
     bt, ht = _fold_region(params)
     qb, qh = _quantize_folded(bt, ht)
@@ -443,6 +447,20 @@ def forward_raw(qp: QuantizedParams, images, *, compute_dtype=None) -> list:
     y = _prologue(qp.backbone_float, images, compute_dtype)
     be = _QuantBE(qp.scales, compute_dtype)
     return _region(be, qp.qb, qp.qh, y)
+
+
+def forward_dense_quantized(qp, images, cfg) -> dict:
+    """Family-dispatched quantized forward → the dense dict the
+    postprocess consumes (the int8 counterpart of Model.forward_dense;
+    decode glue shared via registry.dense_from_raw)."""
+    from mydetection_tpu.registry import dense_from_raw
+
+    if isinstance(qp, QuantizedParams):
+        raw = forward_raw(qp, images, compute_dtype=cfg.compute_dtype)
+    else:
+        from mydetection_tpu import quant_resnet
+        raw = quant_resnet.forward_raw(qp, images, cfg=cfg)
+    return dense_from_raw(raw, cfg, input_size=images.shape[1])
 
 
 jax.tree_util.register_dataclass(

@@ -146,13 +146,30 @@ def fast_init(model: "Model", rng: jax.Array):
 # YOLOv3
 # ---------------------------------------------------------------------------
 
-def dense_from_raw(raw, cfg: ModelConfig) -> dict:
-    """Darknet-family raw head outputs [P5, P4, P3] → the dense dict
-    `forward_dense` returns (boxes xyxy + scores [+ classes]). The ONE
-    decode-glue definition, shared by the float builders below and the
-    int8 path (quant.forward_raw produces the same raw layout)."""
+def dense_from_raw(raw, cfg: ModelConfig, input_size: int | None = None) -> dict:
+    """Family raw head outputs → the dense dict `forward_dense` returns
+    (boxes xyxy + scores | score_logits [+ classes / score_mul]). The
+    ONE decode-glue definition, shared by the float builders below and
+    the int8 paths (quant/quant_resnet forward_raw produce the same raw
+    layouts). `input_size` is required for the anchor/location grids of
+    the ResNet families (darknet decode derives grids from raw shapes)."""
     from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
 
+    if cfg.family == "retinanet":
+        from mydetection_tpu.models import retinanet
+        cls_logits, box_deltas = raw
+        anchors = retinanet.generate_anchors(input_size)
+        return {"boxes": retinanet.decode_boxes(box_deltas, anchors),
+                "score_logits": cls_logits}
+    if cfg.family == "fcos":
+        from mydetection_tpu.models import fcos
+        cls_logits, ltrb, ctr = raw
+        locations, _ = fcos.generate_locations(input_size)
+        # ranking score sigmoid(cls)·sigmoid(ctr) is assembled after
+        # top-k in the postprocess (score_logits + score_mul)
+        return {"boxes": fcos.decode_boxes(ltrb, locations),
+                "score_logits": cls_logits,
+                "score_mul": jax.nn.sigmoid(ctr)}
     if cfg.family == "rapid":
         from mydetection_tpu.models import rapid
         anchors = cfg.anchors if cfg.anchors is not None else rapid.ANCHORS
@@ -273,11 +290,10 @@ def _build_retinanet(depth: int):
         def forward_dense(params, images, *, train: bool = False):
             cls_logits, box_deltas, updates = forward_raw(params, images,
                                                           train=train)
-            anchors = retinanet.generate_anchors(images.shape[1])
             # logits stay dense/native; sigmoid happens after top-k in
             # the postprocess (ops/nms score_logits path)
-            dense = {"boxes": retinanet.decode_boxes(box_deltas, anchors),
-                     "score_logits": cls_logits}
+            dense = dense_from_raw((cls_logits, box_deltas), cfg,
+                                   input_size=images.shape[1])
             return dense, updates
 
         def loss(params, images, gt_boxes, gt_classes, gt_valid, *,
@@ -389,13 +405,9 @@ def _build_fcos(cfg: ModelConfig) -> Model:
 
     def forward_dense(params, images, *, train: bool = False):
         cls_logits, ltrb, ctr, updates = forward_raw(params, images, train=train)
-        locations, _ = fcos.generate_locations(images.shape[1])
-        # cls logits stay dense/native; the FCOS ranking score
-        # sigmoid(cls)·sigmoid(ctr) is assembled after top-k in the
-        # postprocess (score_logits + score_mul)
-        dense = {"boxes": fcos.decode_boxes(ltrb, locations),
-                 "score_logits": cls_logits,
-                 "score_mul": jax.nn.sigmoid(ctr)}
+        # cls logits stay dense/native; scoring assembled post-top-k
+        dense = dense_from_raw((cls_logits, ltrb, ctr), cfg,
+                               input_size=images.shape[1])
         return dense, updates
 
     def loss(params, images, gt_boxes, gt_classes, gt_valid, *,

@@ -109,10 +109,15 @@ def test_quant_scan_matches_unrolled(small_yolo):
         assert bool(jnp.all(a == b))
 
 
-def test_quantize_rejects_resnet_families():
+def test_quantize_dispatches_resnet_families():
+    """ResNet families route to quant_resnet (whose own tests live in
+    test_quant_resnet.py); unknown families fail readably."""
+    import dataclasses
+
     model = get_model("retinanet", input_size=64, compute_dtype=jnp.float32)
-    with pytest.raises(ValueError, match="darknet families"):
-        quant.quantize_model(model.config, {}, [])
+    bad = dataclasses.replace(model.config, family="mystery")
+    with pytest.raises(ValueError, match="family 'mystery'"):
+        quant.quantize_model(bad, {}, [])
 
 
 def test_detector_quantized_end_to_end(small_yolo):
