@@ -31,19 +31,14 @@ def main() -> None:
     ap.add_argument("--input-size", type=int, default=None)
     ap.add_argument("--float32", action="store_true",
                     help="float32 conv compute (debug/CPU; default bf16)")
+    ap.add_argument("--quantized", action="store_true",
+                    help="int8 static-scale PTQ serving path, calibrated "
+                         "on the input images themselves")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     from mydetection_tpu import Detector
-
-    overrides = {}
-    if args.input_size:
-        overrides["input_size"] = args.input_size
-    if args.float32:
-        overrides["compute_dtype"] = jnp.float32
-    det = Detector(model_name=args.model, weights_path=args.weights,
-                   **overrides)
 
     if os.path.isdir(args.input):
         paths = sorted(
@@ -51,6 +46,17 @@ def main() -> None:
             if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
     else:
         paths = [args.input]
+
+    overrides = {}
+    if args.input_size:
+        overrides["input_size"] = args.input_size
+    if args.float32:
+        overrides["compute_dtype"] = jnp.float32
+    if args.quantized:
+        overrides["quantized"] = True
+        overrides["calib_images"] = paths[:32]
+    det = Detector(model_name=args.model, weights_path=args.weights,
+                   **overrides)
     os.makedirs(args.out_dir, exist_ok=True)
 
     for path in paths:

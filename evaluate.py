@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--rotated", action="store_true",
                     help="rotated-box evaluation (fisheye datasets, "
                          "AP50/AP75 with rotated-IoU matching)")
+    ap.add_argument("--quantized", action="store_true",
+                    help="int8 static-scale PTQ serving path; calibrates "
+                         "on --calib-images images from --img-dir, then "
+                         "evaluates the quantized pipeline (diff against "
+                         "a float run to measure the PTQ mAP cost)")
+    ap.add_argument("--calib-images", type=int, default=32,
+                    help="calibration images for --quantized")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -43,6 +50,18 @@ def main() -> None:
         overrides["input_size"] = args.input_size
     if args.float32:
         overrides["compute_dtype"] = jnp.float32
+    if args.quantized:
+        import glob
+        import os
+
+        paths = sorted(
+            p for p in glob.glob(os.path.join(args.img_dir, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+        if not paths:
+            raise SystemExit(f"--quantized: no images in {args.img_dir} "
+                             "to calibrate on")
+        overrides["quantized"] = True
+        overrides["calib_images"] = paths[:args.calib_images]
     if args.rotated:
         from mydetection_tpu.eval.rotated_eval import evaluate_rotated_detector
         det = Detector(model_name=args.model, weights_path=args.weights,

@@ -430,6 +430,7 @@ class Detector:
         size = int(canvases.shape[1]) * (2 if packed else 1)
         run = self._pipeline(size)
         batch = canvases if self.mesh is None else self._place_batch(canvases)
-        out = jax.device_get(run(self.params, batch, jnp.float32(conf),
+        p = self.params if self._q is None else self._q
+        out = jax.device_get(run(p, batch, jnp.float32(conf),
                                  nms_iou=float(iou)))
         return [self._strip(out, i, infos[i]) for i in range(len(infos))]

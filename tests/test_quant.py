@@ -138,6 +138,15 @@ def test_detector_quantized_end_to_end(small_yolo):
     df = det_f.detect_one(np_img=img, conf_thres=0.5)
     dq = det_q.detect_one(np_img=img, conf_thres=0.5)
     assert len(dq) > 0  # random-init sigmoid(large logits) detects plenty
+    # detect_prepared (the evaluator/streaming entry) must also route
+    # to the quantized params (regression: it once passed float params
+    # into the quantized graph)
+    from mydetection_tpu.utils.image_ops import letterbox_pil
+    from PIL import Image
+
+    canvas, info = letterbox_pil(Image.fromarray(img), SIZE)
+    dp = det_q.detect_prepared(np.stack([canvas]), [info], conf_thres=0.5)
+    assert len(dp) == 1 and len(dp[0]) == len(dq)
     # the top-scoring detections should agree on location: compare the
     # best-IoU match for each of the float pipeline's top-5 boxes
     from mydetection_tpu.ops.boxes import pairwise_iou
