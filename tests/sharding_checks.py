@@ -203,6 +203,30 @@ def check_data_parallel_detector():
         assert len(a) == len(b)
 
 
+def check_data_parallel_quantized_detector():
+    """Detector(quantized=True, data_parallel=True): the QuantizedParams
+    pytree must replicate over the mesh and the int8 graph must produce
+    the same detections as the single-device quantized pipeline."""
+    from mydetection_tpu.api import Detector
+
+    imgs = [np.random.RandomState(i).randint(0, 255, (100, 120, 3), np.uint8)
+            for i in range(8)]
+    calib = imgs[:2]
+    d1 = Detector(model_name="yolov3", input_size=64,
+                  compute_dtype=jnp.float32, use_pallas=False,
+                  quantized=True, calib_images=calib)
+    d8 = Detector(model_name="yolov3", input_size=64,
+                  compute_dtype=jnp.float32, use_pallas=False,
+                  quantized=True, calib_images=calib,
+                  data_parallel=True, params=d1.params)
+    r1 = d1.detect_batch(imgs, conf_thres=0.3)
+    r8 = d8.detect_batch(imgs, conf_thres=0.3)
+    for a, b in zip(r1, r8):
+        assert len(a) == len(b)
+        if len(a):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+
+
 if __name__ == "__main__":
     test_eight_virtual_devices_present()
     print("devices ok", flush=True)
@@ -220,4 +244,6 @@ if __name__ == "__main__":
     print("retinanet forward equivalence ok", flush=True)
     check_data_parallel_detector()
     print("data-parallel detector ok", flush=True)
+    check_data_parallel_quantized_detector()
+    print("data-parallel quantized detector ok", flush=True)
     print("ALL SHARDING CHECKS PASSED", flush=True)

@@ -113,6 +113,21 @@ def test_scale_keys_lockstep(small_retinanet):
         assert f"stage{si}/b0/add" in qp.scales
 
 
+@pytest.mark.slow
+def test_retinanet_r101_depth_inferred_and_close():
+    """The walker infers block counts from the param tree (cfg carries
+    no depth), so ResNet-101's 23-block stage2 must quantize and stay
+    close to float without any config plumbing."""
+    model = get_model("retinanet_r101", input_size=SIZE, num_classes=6,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batches = [rng.randint(0, 255, (1, SIZE, SIZE, 3), np.uint8)]
+    qp = quant.quantize_model(model.config, params, batches)
+    assert qp.scales["stage2/scan"].shape == (22, 3)
+    _check_close(model, params, qp, jnp.asarray(batches[0]))
+
+
 def test_detector_quantized_retinanet_end_to_end(small_retinanet):
     """Detector(quantized=True) on a ResNet family: int8 detections
     must locate the float pipeline's top boxes (IoU-matched)."""
