@@ -108,7 +108,7 @@ class Detector:
 
     def __init__(self, model_name: str = "yolov3", weights_path: str | None = None,
                  *, params=None, rng_seed: int = 0, use_pallas: bool | None = None,
-                 data_parallel: bool = False, quantized: bool = False,
+                 data_parallel: bool = False, quantized: bool | str = False,
                  calib_images: Sequence | None = None, **config_overrides):
         self.model: Model = get_model(model_name, **config_overrides)
         self.cfg = self.model.config
@@ -139,9 +139,15 @@ class Detector:
         # from a calibration pass. `calib_images` = images (paths / PIL /
         # np arrays) letterboxed to the serving size; None falls back to
         # noise calibration, which keeps the pipeline functional but
-        # costs mAP — calibrate on real data for accuracy.
+        # costs mAP — calibrate on real data for accuracy. A str value
+        # loads a save_quantized() artifact instead of recalibrating
+        # (calibration costs a full forward compile + a calib-set pass).
         self._q = None
-        if quantized:
+        if isinstance(quantized, str):
+            from mydetection_tpu import quant
+
+            self._q = quant.load_quantized(quantized)
+        elif quantized:
             self._q = self._quantize(calib_images)
         # data-parallel inference over all local chips ([spec]: batch
         # sharding over the slice mesh — per-image work is independent,
@@ -174,6 +180,17 @@ class Detector:
                 canvases.append(canvas)
             batches = [np.stack(canvases)]
         return quant.quantize_model(self.cfg, self.params, batches)
+
+    def save_quantized(self, path: str) -> None:
+        """Persist the calibrated int8 artifact; a later process serves
+        it directly via Detector(..., quantized=path) — no
+        recalibration."""
+        if self._q is None:
+            raise ValueError("this Detector is not quantized — build it "
+                             "with quantized=True first")
+        from mydetection_tpu import quant
+
+        quant.save_quantized(path, self._q)
 
     def _load_weights(self, path: str, rng_seed: int):
         """Load weights by format, mirroring what a reference user has:

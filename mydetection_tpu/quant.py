@@ -467,3 +467,57 @@ jax.tree_util.register_dataclass(
     QuantizedParams,
     data_fields=["backbone_float", "qb", "qh", "scales"],
     meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# persistence — calibration costs real time (a full forward compile +
+# pass over the calib set); serving processes load the finished
+# artifact instead of recalibrating.
+# ---------------------------------------------------------------------------
+
+def save_quantized(path: str, qp) -> None:
+    """Persist a QuantizedParams / QuantizedResnetParams as .npz
+    (atomic, via checkpoint.save_checkpoint; int8 dtypes preserved)."""
+    from mydetection_tpu import checkpoint as ck
+    from mydetection_tpu import quant_resnet
+
+    if isinstance(qp, QuantizedParams):
+        kind = "darknet"
+    elif isinstance(qp, quant_resnet.QuantizedResnetParams):
+        kind = "resnet"
+    else:
+        raise TypeError(f"not a quantized-params pytree: {type(qp)}")
+    tree = {f: jax.device_get(getattr(qp, f))
+            for f in (fd.name for fd in dataclasses.fields(qp))}
+    ck.save_checkpoint(path, tree, extra={"quant_kind": kind})
+
+
+def _reflatten(d: dict, prefix: str = "") -> dict:
+    """Nested dict → '/'-joined flat dict (inverse of what the
+    checkpoint layer does to the scales dict's '/'-bearing keys)."""
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_reflatten(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = v
+    return out
+
+
+def load_quantized(path: str):
+    """Load a save_quantized artifact → the family's QuantizedParams."""
+    from mydetection_tpu import checkpoint as ck
+    from mydetection_tpu import quant_resnet
+
+    ckpt = ck.load_checkpoint(path)
+    kind = str(ckpt["extra"].get("quant_kind", ""))
+    tree = ckpt["params"]
+    if not kind or tree is None:
+        raise ValueError(f"{path} is not a quantized-params artifact "
+                         "(missing quant_kind/params)")
+    tree["scales"] = _reflatten(tree["scales"])
+    if kind == "darknet":
+        return QuantizedParams(**tree)
+    if kind == "resnet":
+        return quant_resnet.QuantizedResnetParams(**tree)
+    raise ValueError(f"unknown quant_kind {kind!r} in {path}")

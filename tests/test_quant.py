@@ -109,6 +109,26 @@ def test_quant_scan_matches_unrolled(small_yolo):
         assert bool(jnp.all(a == b))
 
 
+def test_quantized_save_load_roundtrip(small_yolo, tmp_path):
+    """save_quantized/load_quantized must round-trip the artifact so a
+    serving process skips calibration — loaded forward is BITWISE
+    identical to the in-memory one (int8 dtypes and '/'-bearing scale
+    keys preserved)."""
+    model, params, batches, qp = small_yolo
+    path = str(tmp_path / "q.npz")
+    quant.save_quantized(path, qp)
+    qp2 = quant.load_quantized(path)
+    assert sorted(qp2.scales) == sorted(qp.scales)
+    x = jnp.asarray(batches[0])
+
+    @jax.jit
+    def fwd(q, x):
+        return quant.forward_raw(q, x, compute_dtype=jnp.float32)
+
+    for a, b in zip(fwd(qp, x), fwd(qp2, x)):
+        assert bool(jnp.all(a == b))
+
+
 def test_quantize_dispatches_resnet_families():
     """ResNet families route to quant_resnet (whose own tests live in
     test_quant_resnet.py); unknown families fail readably."""

@@ -113,6 +113,25 @@ def test_scale_keys_lockstep(small_retinanet):
         assert f"stage{si}/b0/add" in qp.scales
 
 
+def test_quantized_save_load_roundtrip(small_fcos, tmp_path):
+    """Resnet-family artifact round-trip: loaded forward bitwise equal
+    (covers the FCOS head extras — GN params, per-level ltrb scales)."""
+    model, params, batches, qp = small_fcos
+    cfg = model.config
+    path = str(tmp_path / "q.npz")
+    quant.save_quantized(path, qp)
+    qp2 = quant.load_quantized(path)
+    assert sorted(qp2.scales) == sorted(qp.scales)
+    x = jnp.asarray(batches[0])
+
+    @jax.jit
+    def fwd(q, x):
+        return quant_resnet.forward_raw(q, x, cfg=cfg)
+
+    for a, b in zip(fwd(qp, x), fwd(qp2, x)):
+        assert bool(jnp.all(a == b))
+
+
 @pytest.mark.slow
 def test_retinanet_r101_depth_inferred_and_close():
     """The walker infers block counts from the param tree (cfg carries
