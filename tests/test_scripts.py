@@ -132,3 +132,29 @@ def test_demo_cli(coco_dir, tmp_path, monkeypatch, capsys):
     ], monkeypatch, capsys)
     pngs = [f for f in os.listdir(out_dir) if f.endswith("_det.png")]
     assert len(pngs) == 6, (pngs, out[-1000:])
+
+
+def test_demo_cli_video(tmp_path, monkeypatch, capsys):
+    """demo.py on a video file: frames decoded, detected in batches,
+    annotated video written with the same frame count."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    vid_path = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"),
+                         10.0, (160, 120))
+    for _ in range(5):
+        wr.write(rng.randint(0, 255, (120, 160, 3), np.uint8))
+    wr.release()
+    out_dir = str(tmp_path / "demo_out")
+    out = run_main("demo", [
+        "--model", "yolov3", "--input", vid_path, "--out-dir", out_dir,
+        "--conf-thres", "0.2", "--input-size", "64", "--float32",
+    ], monkeypatch, capsys)
+    out_path = os.path.join(out_dir, "clip_det.avi")
+    assert os.path.exists(out_path), out[-500:]
+    cap = cv2.VideoCapture(out_path)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 5
