@@ -146,7 +146,7 @@ class Detector:
         if isinstance(quantized, str):
             from mydetection_tpu import quant
 
-            self._q = quant.load_quantized(quantized)
+            self._q = quant.load_quantized(quantized, self.cfg)
         elif quantized:
             self._q = self._quantize(calib_images)
         # data-parallel inference over all local chips ([spec]: batch
@@ -190,7 +190,7 @@ class Detector:
                              "with quantized=True first")
         from mydetection_tpu import quant
 
-        quant.save_quantized(path, self._q)
+        quant.save_quantized(path, self._q, self.cfg)
 
     def _load_weights(self, path: str, rng_seed: int):
         """Load weights by format, mirroring what a reference user has:

@@ -475,9 +475,12 @@ jax.tree_util.register_dataclass(
 # artifact instead of recalibrating.
 # ---------------------------------------------------------------------------
 
-def save_quantized(path: str, qp) -> None:
+def save_quantized(path: str, qp, cfg=None) -> None:
     """Persist a QuantizedParams / QuantizedResnetParams as .npz
-    (atomic, via checkpoint.save_checkpoint; int8 dtypes preserved)."""
+    (atomic, via checkpoint.save_checkpoint; int8 dtypes preserved).
+    Pass the model's cfg to stamp structural identity (family /
+    num_classes) so a mismatched load fails readably instead of with
+    an opaque shape error deep in the graph."""
     from mydetection_tpu import checkpoint as ck
     from mydetection_tpu import quant_resnet
 
@@ -487,9 +490,12 @@ def save_quantized(path: str, qp) -> None:
         kind = "resnet"
     else:
         raise TypeError(f"not a quantized-params pytree: {type(qp)}")
+    extra = {"quant_kind": kind}
+    if cfg is not None:
+        extra.update(family=cfg.family, num_classes=cfg.num_classes)
     tree = {f: jax.device_get(getattr(qp, f))
             for f in (fd.name for fd in dataclasses.fields(qp))}
-    ck.save_checkpoint(path, tree, extra={"quant_kind": kind})
+    ck.save_checkpoint(path, tree, extra=extra)
 
 
 def _reflatten(d: dict, prefix: str = "") -> dict:
@@ -504,17 +510,28 @@ def _reflatten(d: dict, prefix: str = "") -> dict:
     return out
 
 
-def load_quantized(path: str):
-    """Load a save_quantized artifact → the family's QuantizedParams."""
+def load_quantized(path: str, cfg=None):
+    """Load a save_quantized artifact → the family's QuantizedParams.
+    With cfg given, checks the stamped structural identity first."""
     from mydetection_tpu import checkpoint as ck
     from mydetection_tpu import quant_resnet
 
     ckpt = ck.load_checkpoint(path)
-    kind = str(ckpt["extra"].get("quant_kind", ""))
+    extra = ckpt["extra"]
+    kind = str(extra.get("quant_kind", ""))
     tree = ckpt["params"]
     if not kind or tree is None:
         raise ValueError(f"{path} is not a quantized-params artifact "
                          "(missing quant_kind/params)")
+    if cfg is not None and "family" in extra:
+        saved = (str(extra["family"]), int(extra["num_classes"]))
+        want = (cfg.family, cfg.num_classes)
+        if saved != want:
+            raise ValueError(
+                f"quantized artifact {path} was saved for family="
+                f"{saved[0]!r} num_classes={saved[1]}, but this Detector "
+                f"is family={want[0]!r} num_classes={want[1]} — "
+                "recalibrate with quantized=True")
     tree["scales"] = _reflatten(tree["scales"])
     if kind == "darknet":
         return QuantizedParams(**tree)

@@ -116,9 +116,13 @@ def test_quantized_save_load_roundtrip(small_yolo, tmp_path):
     keys preserved)."""
     model, params, batches, qp = small_yolo
     path = str(tmp_path / "q.npz")
-    quant.save_quantized(path, qp)
-    qp2 = quant.load_quantized(path)
+    quant.save_quantized(path, qp, model.config)
+    qp2 = quant.load_quantized(path, model.config)
     assert sorted(qp2.scales) == sorted(qp.scales)
+    # structural-identity guard: a mismatched Detector fails readably
+    import dataclasses as dc
+    with pytest.raises(ValueError, match="num_classes"):
+        quant.load_quantized(path, dc.replace(model.config, num_classes=3))
     x = jnp.asarray(batches[0])
 
     @jax.jit
