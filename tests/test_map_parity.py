@@ -346,3 +346,148 @@ def test_fcos_map_parity():
 
     assert total > 0, "degenerate: no candidates above conf"
     _assert_stats_close(gt, ours_rows, torch_rows)
+
+
+# ---------------------------------------------------------------------------
+# RAPiD rotated — through a real .weights file, scored by the rotated
+# evaluator (completes the 4-family metric-parity matrix)
+# ---------------------------------------------------------------------------
+
+def _np_rotated_nms(iou_mat, scores, iou_thres):
+    """Greedy rotated NMS on a precomputed IoU matrix (the reference's
+    Python-loop idiom). Returns kept indices (score order)."""
+    order = np.argsort(-scores, kind="mergesort")
+    suppressed = np.zeros(len(scores), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        suppressed[iou_mat[i] > iou_thres] = True
+        suppressed[i] = False
+    return keep
+
+
+def _synthetic_rotated_gt(rng, n_images, size):
+    images, annotations = [], []
+    ann_id = 0
+    for i in range(n_images):
+        images.append({"id": i, "file_name": f"{i}", "width": size,
+                       "height": size})
+        for _ in range(int(rng.randint(1, 5))):
+            w = float(rng.uniform(8, size * 0.5))
+            h = float(rng.uniform(8, size * 0.5))
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": 1,
+                "bbox": [float(rng.uniform(w / 2, size - w / 2)),
+                         float(rng.uniform(h / 2, size - h / 2)),
+                         w, h, float(rng.uniform(-89, 89))],
+                "area": w * h, "iscrowd": 0})
+            ann_id += 1
+    return {"images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "person"}]}
+
+
+def test_rapid_map_parity(tmp_path):
+    """Full rotated pipeline differential: ours (static top-k + blocked
+    rotated NMS on the Liang-Barsky IoU) vs a reference-style dynamic
+    pipeline (numpy decode -> conf filter -> greedy Python NMS on the
+    CANDIDATE-POINT IoU formulation — the independent oracle, not the
+    production kernel). Both scored by eval/rotated_eval; all AP stats
+    must agree to 1e-3."""
+    from test_torch_parity import _TorchDarknet53, _TorchYoloNeck
+
+    from mydetection_tpu.eval.rotated_eval import evaluate_rotated
+    from mydetection_tpu.models import rapid
+    from mydetection_tpu.ops.rotated import rotated_intersection_area
+
+    size, n_images = 64, 10
+    conf, iou = 0.6, 0.45
+    rng = _seed_all(23)
+    trunk = _TorchDarknet53().eval()
+    neck = _TorchYoloNeck(1).eval()  # 3*(5+1) = 18 ch = RAPiD layout
+    for net in (trunk, neck):
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                _randomize_bn(m, rng)
+    chunks = []
+    for block in trunk.seq:
+        chunks.extend(block.binary_chunks())
+    chunks.extend(neck.binary_chunks())
+    stream = np.concatenate([np.asarray(c, np.float32).ravel()
+                             for c in chunks])
+    path = str(tmp_path / "rapid_map.weights")
+    with open(path, "wb") as fh:
+        fh.write(np.asarray([0, 2, 0], np.int32).tobytes())
+        fh.write(np.asarray([0], np.int64).tobytes())
+        stream.tofile(fh)
+
+    # pre_nms=2048 > the 1008 total candidates at 64px: no top-k tail
+    # semantics in the differential (that gap is covered by the yolov3
+    # test's budget argument)
+    det = Detector(model_name="rapid", input_size=size,
+                   compute_dtype=jnp.float32, use_pallas=False,
+                   weights_path=path, pre_nms=2048)
+    imgs = [rng.randint(0, 255, (size, size, 3), np.uint8)
+            for _ in range(n_images)]
+    gt = _synthetic_rotated_gt(rng, n_images, size)
+
+    ours_rows = []
+    for i, d in enumerate(det.detect_batch(imgs, conf_thres=conf,
+                                           nms_iou=iou)):
+        for k in range(len(d)):
+            cx, cy, w, h, th = (float(v) for v in d.boxes_rot[k])
+            ours_rows.append({"image_id": i,
+                              "bbox": [cx, cy, w, h, float(np.degrees(th))],
+                              "score": float(d.scores[k])})
+
+    pair_iou = jax.jit(jax.vmap(jax.vmap(
+        lambda a, b: rotated_intersection_area(a, b)
+        / (a[2] * a[3] + b[2] * b[3]
+           - rotated_intersection_area(a, b) + 1e-9),
+        (None, 0)), (0, None)))
+
+    torch_rows, total = [], 0
+    for i, img in enumerate(imgs):
+        x = torch.tensor(img[None].astype(np.float32) / 255.0
+                         ).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            raws = neck(*trunk(x))
+        boxes5, confs = [], []
+        for li, raw in enumerate(raws):
+            r = raw.permute(0, 2, 3, 1).numpy()[0]
+            h, w, _ = r.shape
+            r = r.reshape(h * w * 3, 6)
+            stride = rapid.STRIDES[li]
+            anc = np.asarray(rapid.ANCHORS[li], np.float32)
+            gy, gx = np.mgrid[0:h, 0:w]
+            grid = np.stack([gx, gy], -1)[:, :, None, :].astype(np.float32)
+            grid = np.broadcast_to(grid, (h, w, 3, 2)).reshape(-1, 2)
+            ancs = np.broadcast_to(anc[None, None], (h, w, 3, 2)).reshape(-1, 2)
+            xy = (_sigmoid(r[:, 0:2]) + grid) * stride
+            wh = np.exp(np.clip(r[:, 2:4], -8, 8)) * ancs
+            theta = (_sigmoid(r[:, 4:5]) - 0.5) * np.pi
+            boxes5.append(np.concatenate([xy, wh, theta], -1))
+            confs.append(_sigmoid(r[:, 5]))
+        b5 = np.concatenate(boxes5)
+        sc = np.concatenate(confs)
+        m = sc >= conf
+        b5, sc = b5[m], sc[m]
+        total += len(sc)
+        if len(sc):
+            mat = np.asarray(pair_iou(jnp.asarray(b5, jnp.float32),
+                                      jnp.asarray(b5, jnp.float32)))
+            keep = _np_rotated_nms(mat, sc, iou)[:MAX_DETS]
+            for k in keep:
+                cx, cy, w, h, th = (float(v) for v in b5[k])
+                torch_rows.append({"image_id": i,
+                                   "bbox": [cx, cy, w, h,
+                                            float(np.degrees(th))],
+                                   "score": float(sc[k])})
+
+    assert total > 0, "degenerate: no candidates above conf"
+    ours = evaluate_rotated(ours_rows, gt, verbose=False)
+    ref = evaluate_rotated(torch_rows, gt, verbose=False)
+    for name in ("AP", "AP50", "AP75"):
+        assert ours[name] == pytest.approx(ref[name], abs=1e-3), (
+            name, ours[name], ref[name])
