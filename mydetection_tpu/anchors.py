@@ -105,3 +105,50 @@ def collect_wh(dataset) -> np.ndarray:
     if not out:
         raise ValueError("dataset has no ground-truth boxes")
     return np.concatenate(out, axis=0)
+
+
+def main(argv=None) -> None:
+    """CLI: derive an anchor table from a dataset's GT boxes.
+
+        python -m mydetection_tpu.anchors --ann data/train.json \
+            [--levels 3 --per-level 3]
+
+    Prints the table in registry/ModelConfig format — paste it into
+    `get_model(..., anchors=...)` or a Detector(...) override. Box
+    (w, h) are used as stored (network-pixel convention: rotated
+    fisheye sets annotate at the training resolution; for plain COCO
+    sets letterbox-scale offline if the training size differs).
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--ann", required=True, help="COCO-style annotation JSON")
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--per-level", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    with open(args.ann) as fh:
+        gt = json.load(fh)
+    wh = np.asarray([[a["bbox"][2], a["bbox"][3]]
+                     for a in gt.get("annotations", [])
+                     if not a.get("iscrowd", 0)], np.float64)
+    if not len(wh):
+        raise SystemExit(f"no ground-truth boxes in {args.ann}")
+    table = anchor_table(wh, num_levels=args.levels,
+                         per_level=args.per_level, iters=args.iters,
+                         seed=args.seed)
+    quality = mean_best_iou(wh, np.asarray(
+        [c for lvl in table for c in lvl], np.float64))
+    print(f"# {len(wh)} boxes, mean best-anchor IoU {quality:.3f}")
+    print("ANCHORS = (")
+    for lvl in table:
+        cells = ", ".join(f"({w:.1f}, {h:.1f})" for w, h in lvl)
+        print(f"    ({cells}),")
+    print(")")
+
+
+if __name__ == "__main__":
+    main()
