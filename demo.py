@@ -17,7 +17,8 @@ import argparse
 import os
 import time
 
-IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+from mydetection_tpu.utils.image_ops import IMAGE_EXTS  # noqa: E402
+
 VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
 
 
@@ -52,8 +53,12 @@ def run_video(det, path: str, out_dir: str, *, conf_thres: float,
             frames.append(np.ascontiguousarray(bgr[:, :, ::-1]))  # RGB
         if not frames:
             break
+        # pad the tail to batch_size: a shorter final batch is a new
+        # shape and would recompile the whole detect pipeline (~17 s)
+        real = len(frames)
+        padded = frames + [frames[-1]] * (batch_size - real)
         for rgb, dets in zip(frames, det.detect_batch(
-                frames, conf_thres=conf_thres, nms_iou=nms_iou)):
+                padded, conf_thres=conf_thres, nms_iou=nms_iou)[:real]):
             vis = draw_detections(rgb, dets, class_names=names)
             if writer is None:
                 h, w = vis.shape[:2]
@@ -100,23 +105,35 @@ def main() -> None:
     else:
         paths = [args.input]
 
+    videos = [p for p in paths
+              if os.path.splitext(p)[1].lower() in VIDEO_EXTS]
+    paths = [p for p in paths if p not in videos]
+
     overrides = {}
     if args.input_size:
         overrides["input_size"] = args.input_size
     if args.float32:
         overrides["compute_dtype"] = jnp.float32
     if args.quantized:
-        imgs = [p for p in paths
-                if os.path.splitext(p)[1].lower() in IMAGE_EXTS]
+        calib = paths[:32]
+        if not calib and videos:
+            # video-only input: calibrate on real decoded frames, not
+            # the noise fallback — the user DID supply real data
+            import cv2
+            import numpy as np
+
+            cap = cv2.VideoCapture(videos[0])
+            while len(calib) < 8:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                calib.append(np.ascontiguousarray(bgr[:, :, ::-1]))
+            cap.release()
         overrides["quantized"] = True
-        overrides["calib_images"] = imgs[:32] or None
+        overrides["calib_images"] = calib or None
     det = Detector(model_name=args.model, weights_path=args.weights,
                    **overrides)
     os.makedirs(args.out_dir, exist_ok=True)
-
-    videos = [p for p in paths
-              if os.path.splitext(p)[1].lower() in VIDEO_EXTS]
-    paths = [p for p in paths if p not in videos]
     for path in videos:
         run_video(det, path, args.out_dir, conf_thres=args.conf_thres,
                   nms_iou=args.nms_iou)

@@ -54,9 +54,11 @@ def main() -> None:
         import glob
         import os
 
+        from mydetection_tpu.utils.image_ops import IMAGE_EXTS
+
         paths = sorted(
             p for p in glob.glob(os.path.join(args.img_dir, "*"))
-            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+            if os.path.splitext(p)[1].lower() in IMAGE_EXTS)
         if not paths:
             raise SystemExit(f"--quantized: no images in {args.img_dir} "
                              "to calibrate on")

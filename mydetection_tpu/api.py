@@ -130,6 +130,11 @@ class Detector:
             self.params = params
         elif weights_path is not None:
             self.params = self._load_weights(weights_path, rng_seed)
+        elif isinstance(quantized, str):
+            # serving straight from a saved int8 artifact: float params
+            # are never touched (every detect routes through self._q),
+            # so skip fast_init's compile + allocation entirely
+            self.params = None
         else:
             self.params = fast_init(self.model, jax.random.PRNGKey(rng_seed))
         self._jitted: dict[tuple, callable] = {}
@@ -157,7 +162,8 @@ class Detector:
             from mydetection_tpu.parallel.mesh import make_mesh, replicate
 
             self.mesh = make_mesh()
-            self.params = replicate(self.params, self.mesh)
+            if self.params is not None:
+                self.params = replicate(self.params, self.mesh)
             if self._q is not None:
                 self._q = replicate(self._q, self.mesh)
 
@@ -170,6 +176,11 @@ class Detector:
             batches = [rng.randint(0, 256, (2, size, size, 3), np.uint8)
                        for _ in range(2)]
         else:
+            if not len(calib_images):
+                raise ValueError(
+                    "calib_images is empty — pass real images to "
+                    "calibrate on, or calib_images=None for the noise "
+                    "fallback (functional but costs mAP)")
             canvases = []
             for img in calib_images:
                 pil = _load_image(

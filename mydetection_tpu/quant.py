@@ -199,9 +199,7 @@ class _QuantBE:
 
     def res_stage(self, key, q: Params, xr, nblocks: int):
         scales = self.s[key + "/res"]  # (n, 2)
-        use_scan = (jax.default_backend() == "tpu" if self.scan is None
-                    else self.scan)
-        if nblocks == 1 or not use_scan:
+        if nblocks == 1 or not darknet._use_scan(self.scan):
             for bi in range(nblocks):
                 blk = jax.tree_util.tree_map(lambda l, bi=bi: l[bi],
                                              q["res_stacked"])
@@ -398,12 +396,13 @@ class QuantizedParams:
 
 
 def calibrate(params: Params, batches: Iterable[np.ndarray], *,
-              compute_dtype=None) -> dict[str, float]:
+              compute_dtype=None, _folded=None) -> dict[str, float]:
     """Run the folded-float chain over calibration batches, return the
     per-layer abs-max dict. Batches: uint8/float NHWC at the serving
     input size (use REAL images for accuracy; noise calibration keeps
-    the pipeline functional but costs mAP)."""
-    bt, ht = _fold_region(params)
+    the pipeline functional but costs mAP). `_folded`: pre-folded
+    (bt, ht) trees from quantize_model, avoiding a second full fold."""
+    bt, ht = _folded if _folded is not None else _fold_region(params)
 
     @jax.jit
     def one(x):
@@ -434,10 +433,18 @@ def quantize_model(cfg, params: Params, calib_batches: Iterable[np.ndarray]):
             f"int8 quantization supports families "
             f"{QUANT_FAMILIES + quant_resnet.RESNET_QUANT_FAMILIES}; "
             f"'{cfg.name}' has family '{cfg.family}'")
-    maxes = calibrate(params, calib_batches, compute_dtype=cfg.compute_dtype)
     bt, ht = _fold_region(params)
+    maxes = calibrate(params, calib_batches, compute_dtype=cfg.compute_dtype,
+                      _folded=(bt, ht))
     qb, qh = _quantize_folded(bt, ht)
-    return QuantizedParams(backbone_float=params["backbone"], qb=qb, qh=qh,
+    # prologue keeps ONLY what _prologue touches (stem, stage0,
+    # stage1.down) — the float res blocks of stages 1-4 are ~90% of
+    # darknet's params and would otherwise ride along in HBM, in every
+    # save_quantized artifact, and in every data-parallel replica
+    bb = params["backbone"]
+    prologue = {"stem": bb["stem"], "stage0": bb["stage0"],
+                "stage1": {"down": bb["stage1"]["down"]}}
+    return QuantizedParams(backbone_float=prologue, qb=qb, qh=qh,
                            scales=_stack_scales(maxes))
 
 
@@ -492,7 +499,8 @@ def save_quantized(path: str, qp, cfg=None) -> None:
         raise TypeError(f"not a quantized-params pytree: {type(qp)}")
     extra = {"quant_kind": kind}
     if cfg is not None:
-        extra.update(family=cfg.family, num_classes=cfg.num_classes)
+        extra.update(family=cfg.family, num_classes=cfg.num_classes,
+                     input_size=cfg.input_size)
     tree = {f: jax.device_get(getattr(qp, f))
             for f in (fd.name for fd in dataclasses.fields(qp))}
     ck.save_checkpoint(path, tree, extra=extra)
@@ -532,6 +540,16 @@ def load_quantized(path: str, cfg=None):
                 f"{saved[0]!r} num_classes={saved[1]}, but this Detector "
                 f"is family={want[0]!r} num_classes={want[1]} — "
                 "recalibrate with quantized=True")
+        if "input_size" in extra \
+                and int(extra["input_size"]) != cfg.input_size:
+            import warnings
+
+            warnings.warn(
+                f"quantized artifact {path} was calibrated at input_size="
+                f"{int(extra['input_size'])} but this Detector serves "
+                f"{cfg.input_size}; static activation scales are "
+                "size-sensitive — expect some accuracy cost, or "
+                "recalibrate at the serving size", stacklevel=2)
     tree["scales"] = _reflatten(tree["scales"])
     if kind == "darknet":
         return QuantizedParams(**tree)

@@ -143,9 +143,9 @@ class _QuantBE:
         if "scan_stacked" not in t:
             return xr
         scales = self.s[key + "/scan"]  # (n-1, 3) [c1, c2, add]
-        use_scan = (jax.default_backend() == "tpu" if self.scan is None
-                    else self.scan)
-        if not use_scan:
+        from mydetection_tpu.models.darknet import _use_scan
+
+        if not _use_scan(self.scan):
             n1 = scales.shape[0]
             for bi in range(n1):
                 blk = jax.tree_util.tree_map(lambda l, bi=bi: l[bi],
@@ -307,24 +307,21 @@ def _qleaf_bias(p: Params) -> Params:
     return {"wq": wq, "wscale": ws, "bias": p["b"].astype(jnp.float32)}
 
 
-def _qleaf_bn(p: Params) -> Params:
-    f = fold_cbl(p)
+def _qleaf_folded(f: Params) -> Params:
+    """Folded-float leaf {'wf','bias'} → int8 leaf."""
     wq, ws = quantize_weight(f["wf"])
     return {"wq": wq, "wscale": ws, "bias": f["bias"].astype(jnp.float32)}
 
 
-def _prep_backbone(bb: Params) -> Params:
+def _prep_backbone(ft: Params) -> Params:
+    """_fold_only output → int8 backbone tree (no second BN fold)."""
     qb: Params = {}
     for si in range(4):
-        st = bb[f"stage{si}"]
+        st = ft[f"stage{si}"]
         n = _stage_nblocks(st)
 
         def qblock(b: Params) -> Params:
-            q = {"c1": _qleaf_bn(b["conv1"]), "c2": _qleaf_bn(b["conv2"]),
-                 "c3": _qleaf_bn(b["conv3"])}
-            if "down" in b:
-                q["down"] = _qleaf_bn(b["down"])
-            return q
+            return {k: _qleaf_folded(v) for k, v in b.items()}
 
         qst: Params = {"block0": qblock(st["block0"])}
         if n > 1:
@@ -391,11 +388,14 @@ class QuantizedResnetParams:
     scales: dict[str, Any]
 
 
-def calibrate(cfg, params: Params,
-              batches: Iterable[np.ndarray]) -> dict[str, float]:
-    qb = _fold_only(params["backbone"])
-    qf = _fold_fpn_float(params["fpn"])
-    qh = _fold_head_float(params["head"], cfg.family)
+def calibrate(cfg, params: Params, batches: Iterable[np.ndarray], *,
+              _folded=None) -> dict[str, float]:
+    if _folded is not None:
+        qb, qf, qh = _folded
+    else:
+        qb = _fold_only(params["backbone"])
+        qf = _fold_fpn_float(params["fpn"])
+        qh = _fold_head_float(params["head"], cfg.family)
 
     @jax.jit
     def one(x):
@@ -466,8 +466,11 @@ def quantize_model(cfg, params: Params,
     if cfg.family not in RESNET_QUANT_FAMILIES:
         raise ValueError(f"quant_resnet supports {RESNET_QUANT_FAMILIES}, "
                          f"got family '{cfg.family}'")
-    maxes = calibrate(cfg, params, calib_batches)
-    qb = _prep_backbone(params["backbone"])
+    ft = _fold_only(params["backbone"])
+    ff = _fold_fpn_float(params["fpn"])
+    fh = _fold_head_float(params["head"], cfg.family)
+    maxes = calibrate(cfg, params, calib_batches, _folded=(ft, ff, fh))
+    qb = _prep_backbone(ft)
     return QuantizedResnetParams(
         backbone_float={"stem": params["backbone"]["stem"]},
         qb=qb, qf=_prep_fpn(params["fpn"]),

@@ -20,6 +20,9 @@ import numpy as np
 from PIL import Image
 
 PAD_VALUE = 114  # gray padding, standard letterbox fill
+# decodable-by-PIL image extensions, shared by the CLIs (demo,
+# evaluate --quantized calibration) so the lists cannot diverge
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
 
 @dataclasses.dataclass(frozen=True)
