@@ -19,6 +19,7 @@ TPU-native notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -71,7 +72,8 @@ def burn_in_lr(step, *, base_lr: float, burn_in: int = 1000,
 # ---------------------------------------------------------------------------
 
 def make_train_step(model: Model, *, input_size: int,
-                    momentum: float = 0.9, weight_decay: float = 5e-4):
+                    momentum: float = 0.9, weight_decay: float = 5e-4,
+                    donate: bool | None = None):
     """Build the jitted train step for one input-size bucket.
 
     step(params, velocity, images_u8, gt_boxes, gt_classes, gt_valid, lr)
@@ -80,7 +82,16 @@ def make_train_step(model: Model, *, input_size: int,
     Sharding-agnostic: shard the batch axis of (images, gt_*) over a
     mesh and XLA turns the implicit gradient reduction into psum over
     ICI; no code change for 1 vs N chips.
+
+    `donate`: donate the params+velocity input buffers to XLA so the
+    SGD update writes in place instead of allocating a second copy of
+    the model+optimizer state per step (the caller rebinds both from
+    the return value, so the old buffers are dead anyway). Default
+    (None) = on for TPU, off elsewhere — XLA:CPU ignores donation with
+    a warning, and CPU tests/dryruns reuse the pre-step params.
     """
+    if donate is None:
+        donate = jax.default_backend() == "tpu"
 
     def loss_fn(params, images, gt_boxes, gt_classes, gt_valid):
         terms = model.loss(params, images, gt_boxes, gt_classes, gt_valid,
@@ -88,7 +99,7 @@ def make_train_step(model: Model, *, input_size: int,
         bn_updates = terms.pop("bn_updates", None)
         return terms["total"], (terms, bn_updates)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, velocity, images, gt_boxes, gt_classes, gt_valid, lr):
         (_, (terms, bn_updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, images, gt_boxes, gt_classes, gt_valid)
