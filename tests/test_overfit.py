@@ -76,3 +76,36 @@ def test_overfit_rotated_batch():
     assert np.isfinite(last)
     assert last < first / 3, (first, last)
     assert float(m["angle"]) < 0.5, m
+
+
+def test_train_step_donated_buffers():
+    """donate=True (the TPU default) must train identically under the
+    rebind-every-call contract, and the default CPU path must leave the
+    caller's pre-step params alive (no donation off-TPU)."""
+    rng = np.random.RandomState(0)
+    B, S = 2, 64
+    images = jnp.asarray(rng.randint(0, 255, (B, S, S, 3), np.uint8))
+    gt_boxes = jnp.asarray([[[32, 32, 20, 16]]] * B, jnp.float32)
+    gt_classes = jnp.asarray([[1]] * B, jnp.int32)
+    gt_valid = jnp.ones((B, 1), bool)
+
+    model = get_model("yolov3", input_size=S, num_classes=5,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    vel = sgd_init(params)
+
+    step = make_train_step(model, input_size=S, donate=True)
+    losses = []
+    for _ in range(3):
+        params, vel, m = step(params, vel, images, gt_boxes, gt_classes,
+                              gt_valid, jnp.float32(1e-3))
+        losses.append(float(m["total"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+
+    # default path: donation auto-off on CPU; old buffers stay readable
+    step2 = make_train_step(model, input_size=S)
+    p2, _, m2 = step2(params, vel, images, gt_boxes, gt_classes,
+                      gt_valid, jnp.float32(1e-3))
+    jax.tree_util.tree_map(lambda a: np.asarray(a).sum(), params)
+    assert np.isfinite(float(m2["total"]))
