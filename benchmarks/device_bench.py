@@ -111,7 +111,7 @@ def bench_model(model_name: str, *, input_size: int | None = None,
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
     ips = batch * scan_batches * iters / dt
-    return {
+    row = {
         "model": model_name,
         "input_size": size,
         "batch": batch,
@@ -119,6 +119,16 @@ def bench_model(model_name: str, *, input_size: int | None = None,
         "images_per_sec_per_chip": round(ips, 2),
         "device_ms_per_batch": round(1000.0 * batch / ips, 2),
     }
+    # MFU from XLA's own cost model of the one-batch detect graph
+    # (Pallas calls count 0 flops -> reported MFU is a floor)
+    from mydetection_tpu.utils.flops import compiled_flops, mfu
+    fl = compiled_flops(detect, params, imgs[0])
+    if fl:
+        row["gflops_per_image"] = round(fl / batch / 1e9, 2)
+        u = mfu(fl / batch, ips, "bfloat16" if on_tpu else "float32")
+        if u is not None:
+            row["mfu"] = round(u, 3)
+    return row
 
 
 def main() -> None:
