@@ -53,14 +53,31 @@ def _suppress_kernel(iou_ref, valid_ref, keep_ref, *, iou_thres: float,
                                     preferred_element_type=jnp.float32)
         bk0 = jnp.sum(onehot * keep_ref[0:1, :], axis=1, keepdims=True)
 
-        def inner(i, bk):
-            intra_i = jnp.sum(jnp.where(col_b == i, intra, 0.0), axis=1,
-                              keepdims=True)                          # (B, 1)
-            ki = jnp.sum(jnp.where(row_col == i, bk, 0.0))
-            sup = (intra_i > iou_thres) & (row_col > i) & (ki > 0.5)
-            return jnp.where(sup, 0.0, bk)
+        # Intra-block greedy resolve as a FIXPOINT iteration (same
+        # argument as nms_kernel.py: the greedy keep-vector is the
+        # unique fixpoint of f(k)[j] = valid[j] ∧ ¬∃i<j: k[i] ∧
+        # iou[i,j] > t, and iterating from k = valid stabilizes the
+        # length-t prefix after t passes) — a handful of vectorized
+        # (B, B) passes instead of an always-B sequential inner loop,
+        # which dominated the rotated-NMS slice of RAPiD@1024.
+        sup_mat = jnp.where((intra > iou_thres) & (col_b > row_col),
+                            1.0, 0.0)                        # [i, j]: i<j
+        eye_b = (col_b == row_col).astype(jnp.float32)       # (B, B)
 
-        bk = jax.lax.fori_loop(0, block, inner, bk0)
+        def f(kv):  # kv: (B, 1) keep flags as {0,1} over rows
+            sup_j = jnp.max(sup_mat * kv, axis=0, keepdims=True)  # (1, B)
+            sup_rows = jnp.sum(eye_b * sup_j, axis=1, keepdims=True)
+            return bk0 * (1.0 - sup_rows)
+
+        def cond(state):
+            kv, kn = state
+            return jnp.sum(jnp.abs(kn - kv)) > 0.0
+
+        def step(state):
+            _, kn = state
+            return kn, f(kn)
+
+        _, bk = jax.lax.while_loop(cond, step, (bk0, f(bk0)))
 
         sup_any = jnp.max(
             jnp.where((tile > iou_thres) & (bk > 0.5), 1.0, 0.0),
