@@ -105,7 +105,8 @@ def main() -> None:
         d = dense_of(p, x)
         out = jax.vmap(lambda b, s: rotated_postprocess_impl(
             b, s, conf_thres=0.3, iou_thres=0.45, pre_nms=cfg.pre_nms,
-            max_dets=cfg.max_dets, use_pallas=on_tpu))(d["boxes"], d["scores"])
+            max_dets=cfg.max_dets, use_pallas=on_tpu,
+            approx_topk=cfg.approx_topk))(d["boxes"], d["scores"])
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
     imgs = jnp.asarray(np.random.RandomState(0).randint(

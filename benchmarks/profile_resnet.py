@@ -90,7 +90,8 @@ def main() -> None:
                 score_mul=d.get("score_mul"),
                 conf_thres=0.3, iou_thres=0.45, pre_nms=cfg.pre_nms,
                 max_dets=cfg.max_dets, use_pallas=on_tpu,
-                multi_label=cfg.multi_label))(dense)
+                multi_label=cfg.multi_label,
+                approx_topk=cfg.approx_topk))(dense)
             return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
         return fn

@@ -41,7 +41,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--scan-batches", type=int, default=10)
+    ap.add_argument("--scan-batches", type=int, default=40)
     ap.add_argument("--input-size", type=int, default=416)
     ap.add_argument("--oracle-nms", action="store_true",
                     help="also time the pure-jax NMS for comparison")
@@ -109,7 +109,7 @@ def main() -> None:
             dd["boxes"], dd["scores"], classes=dd["classes"],
             conf_thres=0.3, iou_thres=0.45, pre_nms=cfg.pre_nms,
             max_dets=cfg.max_dets, use_pallas=use_pallas,
-            multi_label=False))(d)
+            multi_label=False, approx_topk=cfg.approx_topk))(d)
         return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
 
     variants = [
@@ -122,15 +122,21 @@ def main() -> None:
         variants.append(("full_oracle_nms",
                          functools.partial(run_full, use_pallas=False)))
 
+    # two-batch traced-index protocol (see bench.py docstring): the
+    # earlier `x + i` u8 perturbation charged a padded-NHWC3 elementwise
+    # pass to every segment, inflating the early-stage splits
     imgs = jnp.asarray(np.random.RandomState(0).randint(
-        0, 255, (args.batch, args.input_size, args.input_size, 3), np.uint8))
+        0, 255, (2, args.batch, args.input_size, args.input_size, 3),
+        np.uint8))
     g = args.scan_batches if on_tpu else 1
 
     def timed(fn):
         @functools.partial(jax.jit, static_argnames=("g",))
-        def scan_fn(p, x, g):
+        def scan_fn(p, two, g):
             def body(acc, i):
-                return acc + fn(p, x + i.astype(jnp.uint8)), None
+                x = jax.lax.dynamic_index_in_dim(two, i % 2, 0,
+                                                 keepdims=False)
+                return acc + fn(p, x), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(g))
             return acc
 

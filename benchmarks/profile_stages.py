@@ -35,7 +35,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--scan-batches", type=int, default=10)
+    ap.add_argument("--scan-batches", type=int, default=40)
     ap.add_argument("--input-size", type=int, default=416)
     args = ap.parse_args()
 
@@ -122,15 +122,22 @@ def main() -> None:
 
     segments = ["stem"] + [f"stage{si}" for si in range(5)] + ["neck+heads"]
 
+    # two pre-staged batches alternated via a traced index — the same
+    # protocol as bench.py; the earlier `x + i` uint8 perturbation
+    # charged an elementwise pass over the padded NHWC3 tensor to every
+    # prefix (inflating exactly the early segments this tool exists to
+    # split — see the tpu-bench memory / bench.py docstring)
     imgs = jnp.asarray(np.random.RandomState(0).randint(
-        0, 255, (args.batch, size, size, 3), np.uint8))
+        0, 255, (2, args.batch, size, size, 3), np.uint8))
     g_scan = args.scan_batches if on_tpu else 1
 
     def timed(fn):
         @functools.partial(jax.jit, static_argnames=("g",))
-        def scan_fn(p, x, g):
+        def scan_fn(p, two, g):
             def body(acc, i):
-                return acc + fn(p, x + i.astype(jnp.uint8)), None
+                x = jax.lax.dynamic_index_in_dim(two, i % 2, 0,
+                                                 keepdims=False)
+                return acc + fn(p, x), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(g))
             return acc
 

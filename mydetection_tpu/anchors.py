@@ -125,9 +125,10 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--ann", required=True, help="COCO-style annotation JSON")
     ap.add_argument("--levels", type=int, default=3)
-    ap.add_argument("--per-level", type=int, default=3)
+    ap.add_argument("--per-level", type=int, default=3,
+                    help="anchors per level; note the yolov3/rapid heads "
+                         "consume exactly 3 levels x 3 anchors")
     ap.add_argument("--iters", type=int, default=300)
-    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     with open(args.ann) as fh:
@@ -138,11 +139,14 @@ def main(argv=None) -> None:
     if not len(wh):
         raise SystemExit(f"no ground-truth boxes in {args.ann}")
     table = anchor_table(wh, num_levels=args.levels,
-                         per_level=args.per_level, iters=args.iters,
-                         seed=args.seed)
+                         per_level=args.per_level, iters=args.iters)
     quality = mean_best_iou(wh, np.asarray(
         [c for lvl in table for c in lvl], np.float64))
     print(f"# {len(wh)} boxes, mean best-anchor IoU {quality:.3f}")
+    if (args.levels, args.per_level) != (3, 3):
+        print("# NOTE: the yolov3/rapid heads consume exactly 3 levels "
+              "x 3 anchors; get_model(anchors=...) will reject this "
+              "table (it is printed for analysis only)")
     print("ANCHORS = (")
     for lvl in table:
         cells = ", ".join(f"({w:.1f}, {h:.1f})" for w, h in lvl)

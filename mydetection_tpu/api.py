@@ -109,7 +109,8 @@ class Detector:
     def __init__(self, model_name: str = "yolov3", weights_path: str | None = None,
                  *, params=None, rng_seed: int = 0, use_pallas: bool | None = None,
                  data_parallel: bool = False, quantized: bool | str = False,
-                 calib_images: Sequence | None = None, **config_overrides):
+                 calib_images: Sequence | None = None, pack_input: bool = False,
+                 **config_overrides):
         self.model: Model = get_model(model_name, **config_overrides)
         self.cfg = self.model.config
         if use_pallas is None:
@@ -117,15 +118,20 @@ class Detector:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         # Host-side S2D-2 input packing (darknet-backbone families):
-        # the device graph can consume (B, S/2, S/2, 12) uint8 via
+        # the device graph consumes (B, S/2, S/2, 12) uint8 via
         # phase-folded stem weights (utils/image_ops.pack_s2d2 +
         # models/darknet.py packed path). Measured NEUTRAL on v5e at
         # 416² (1739 vs 1743 img/s — XLA already folds the u8
-        # normalize efficiently into the S2D stem), so it stays off by
-        # default: the pack would add host work for no device win.
-        # Callers that pre-pack (e.g. StreamingPipeline(pack_s2d2=True))
-        # are still consumed natively by detect_prepared.
-        self._pack_input = False
+        # normalize efficiently into the S2D stem), so it is off by
+        # default: the pack would add host work for no device win. It
+        # exists for multi-core hosts where the loader pre-packs (e.g.
+        # StreamingPipeline(pack_s2d2=True) feeding detect_prepared,
+        # which consumes 12-channel canvases regardless of this flag).
+        if pack_input and self.cfg.family not in ("yolov3", "rapid"):
+            raise ValueError(
+                f"pack_input=True requires a darknet-backbone family "
+                f"(yolov3/rapid); '{model_name}' is {self.cfg.family}")
+        self._pack_input = bool(pack_input)
         if params is not None:
             self.params = params
         elif weights_path is not None:

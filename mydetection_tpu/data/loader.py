@@ -259,12 +259,14 @@ class TrainLoader:
         order = rng.permutation(len(self.ds))
         # every index is visited every epoch: the tail `len % batch`
         # images form a final batch padded (to the static batch shape)
-        # by cycling the permutation from its start — real images with
-        # real labels, never silently dropped (len(ds) >= batch assumed
-        # harmless: duplicates within one batch are still valid samples)
-        pad = (-len(order)) % self.batch_size
-        if pad:
-            order = np.concatenate([order, order[:pad]])
+        # by cycling the permutation — real images with real labels,
+        # never silently dropped. np.resize cycles as many times as
+        # needed, so datasets SMALLER than one batch still yield a full
+        # batch (duplicates within a batch are valid samples) instead
+        # of zero batches.
+        total = len(order) + (-len(order)) % self.batch_size
+        if total != len(order) and len(order):
+            order = np.resize(order, total)
         nb = len(order) // self.batch_size
         sizes = []
         size = self.sizes[0]

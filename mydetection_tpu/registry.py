@@ -107,7 +107,32 @@ def get_model(name: str, **overrides) -> Model:
         raise KeyError(f"unknown model '{name}'; available: {list_models()}")
     cfg = dataclasses.replace(_CONFIGS[name], **overrides)
     check_input_size(cfg.input_size)
+    if cfg.anchors is not None:
+        check_anchor_table(cfg.anchors, cfg.family)
     return _REGISTRY[name](cfg)
+
+
+def check_anchor_table(anchors, family: str) -> None:
+    """Reject anchor tables the darknet heads can't consume.
+
+    The yolov3/rapid heads are built with exactly 3 anchors per level
+    over 3 levels (head output channels and the loss's
+    `best_level = best_a // 3` assignment both hardcode it); a table
+    from `anchors.anchor_table(per_level=4)` would otherwise fail as
+    an opaque reshape deep inside decode."""
+    if family not in ("yolov3", "rapid"):
+        raise ValueError(f"anchors override is only meaningful for the "
+                         f"darknet families (yolov3/rapid), not {family}")
+    ok = (isinstance(anchors, (tuple, list)) and len(anchors) == 3
+          and all(len(lvl) == 3 for lvl in anchors)
+          and all(len(a) == 2 and float(a[0]) > 0 and float(a[1]) > 0
+                  for lvl in anchors for a in lvl))
+    if not ok:
+        raise ValueError(
+            "anchors must be 3 levels (P5→P3) × 3 (w, h) pairs with "
+            "positive sizes — the shape mydetection_tpu.anchors."
+            "anchor_table() produces with default levels/per_level; "
+            f"got {anchors!r}")
 
 
 def check_input_size(size: int) -> None:

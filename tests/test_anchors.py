@@ -98,3 +98,20 @@ def test_collect_wh_and_registry_override():
 
     model = get_model("rapid", input_size=64, anchors=custom)
     assert model.config.anchors == custom
+
+
+def test_registry_rejects_malformed_anchor_tables():
+    import pytest
+
+    from mydetection_tpu.registry import get_model
+
+    bad_4_per_level = tuple(
+        tuple((10.0 * (i + 1), 12.0 * (i + 1)) for i in range(4))
+        for _ in range(3))
+    with pytest.raises(ValueError, match="3 levels"):
+        get_model("yolov3", anchors=bad_4_per_level)
+    with pytest.raises(ValueError, match="darknet families"):
+        get_model("retinanet", anchors=((10.0, 10.0),) * 3)
+    good = tuple(tuple((10.0 + i + j, 12.0 + i + j) for j in range(3))
+                 for i in range(3))
+    get_model("rapid", anchors=good)  # consumable table builds fine

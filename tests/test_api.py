@@ -219,3 +219,25 @@ def test_detect_one_visualize_field(detector):
     assert dets.visualized.shape == img.shape
     dets2 = detector.detect_one(np_img=img, conf_thres=0.3)
     assert dets2.visualized is None
+
+
+def test_pack_input_matches_default_path(detector):
+    """Detector(pack_input=True): host S2D-2 pre-pack consumed by the
+    packed stem must reproduce the default path's detections exactly
+    (the fold is exact, not approximate)."""
+    img = np.random.RandomState(7).randint(0, 255, (256, 256, 3), np.uint8)
+    packed = Detector(model_name="yolov3", input_size=128,
+                      compute_dtype=jnp.float32, use_pallas=False,
+                      pack_input=True)
+    a = detector.detect_one(np_img=img, conf_thres=0.3)
+    b = packed.detect_one(np_img=img, conf_thres=0.3)
+    # the packed conv reassociates f32 sums; agreement is roundoff-level
+    np.testing.assert_allclose(a.boxes_xyxy, b.boxes_xyxy, atol=1e-2)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+
+
+def test_pack_input_rejected_for_resnet_family():
+    with pytest.raises(ValueError, match="darknet-backbone"):
+        Detector(model_name="retinanet", input_size=128, num_classes=3,
+                 compute_dtype=jnp.float32, use_pallas=False,
+                 pack_input=True)

@@ -275,6 +275,28 @@ def test_train_loader_visits_every_index(coco_dir):
     assert len(visited) == 8  # 2 static-shape batches of 4
 
 
+def test_train_loader_dataset_smaller_than_batch(coco_dir):
+    """len(ds) < batch_size must still yield one full cycled batch —
+    not zero batches (train.py would otherwise spin through empty
+    epochs forever)."""
+    ds = CocoDataset(str(coco_dir / "ann.json"), str(coco_dir))
+    assert len(ds) == 6
+    loader = TrainLoader(ds, batch_size=16, sizes=[64], max_gt=10,
+                         num_threads=2, augment=False, seed=1,
+                         device_put=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 1
+    imgs = batches[0][0]
+    assert imgs.shape[0] == 16  # static batch shape, cycled content
+    from mydetection_tpu.utils.image_ops import letterbox_np
+    canon = {}
+    for i in range(len(ds)):
+        canvas, _ = letterbox_np(ds[i]["image"], 64)
+        canon[canvas.tobytes()] = i
+    visited = [canon[img.tobytes()] for img in imgs]
+    assert set(visited) == set(range(6))  # every image appears
+
+
 def test_random_augment_requires_classes_when_rotating():
     """rotate_prob>0 without classes is a silent-desync hazard for
     callers holding parallel arrays — rejected loudly (ADVICE r2)."""
