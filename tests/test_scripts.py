@@ -59,13 +59,22 @@ def test_train_and_resume(coco_dir, tmp_path, monkeypatch, capsys):
             "--img-dir", str(coco_dir), "--batch-size", "2", "--sizes", "64",
             "--max-gt", "8", "--log-every", "2", "--ckpt-dir", ckpt_dir,
             "--float32"]  # bf16 emulation is slow on the CPU test host
-    out = run_main("train", base + ["--iterations", "3", "--ckpt-every", "3"],
+    tb_dir = str(tmp_path / "tb")
+    out = run_main("train", base + ["--iterations", "3", "--ckpt-every", "3",
+                                    "--tensorboard-dir", tb_dir],
                    monkeypatch, capsys)
     ckpt = os.path.join(ckpt_dir, "yolov3_3.npz")
     assert os.path.exists(ckpt), out[-2000:]
     metrics = open(os.path.join(ckpt_dir, "yolov3_metrics.jsonl")).read()
     row = json.loads(metrics.strip().splitlines()[0])
     assert np.isfinite(row["total"]) and row["iter"] == 2
+    # the TensorBoard sink wrote a parseable event file with the same scalars
+    from mydetection_tpu.utils.tb_writer import read_scalars
+    events = [f for f in os.listdir(tb_dir) if f.startswith("events.out")]
+    assert len(events) == 1
+    rows_tb = read_scalars(os.path.join(tb_dir, events[0]))
+    assert any(t == "loss/total" and s == 2 and np.isfinite(v)
+               for s, t, v in rows_tb), rows_tb
 
     out2 = run_main("train", base + ["--iterations", "5", "--ckpt-every", "2",
                                      "--resume", ckpt], monkeypatch, capsys)

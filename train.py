@@ -8,8 +8,9 @@ loop, multi-scale input sizes, periodic checkpoint + val-eval,
 TPU-native specifics: one compiled train-step per input-size bucket
 (multi-scale = cycling pre-compiled graphs); data parallelism via a
 1-D device mesh with the batch axis sharded (XLA inserts the gradient
-psums); metrics go to stdout + a JSONL file (the reference wrote
-TensorBoard scalars — same information, dependency-free sink).
+psums); metrics go to stdout + a JSONL file, and optionally to real
+TensorBoard event files via the dependency-free writer
+(`--tensorboard-dir`, utils/tb_writer.py) — the reference's two sinks.
 
 Example:
     python train.py --model yolov3 --ann data/train.json \
@@ -49,6 +50,10 @@ def main() -> None:
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--resume", default=None,
                     help="checkpoint path to resume from")
+    ap.add_argument("--tensorboard-dir", default=None,
+                    help="also write TensorBoard event files here "
+                         "(dependency-free writer, utils/tb_writer.py — "
+                         "the reference's second metrics sink)")
     ap.add_argument("--val-ann", default=None)
     ap.add_argument("--val-img-dir", default=None)
     ap.add_argument("--val-every", type=int, default=0)
@@ -117,6 +122,10 @@ def main() -> None:
     os.makedirs(args.ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(args.ckpt_dir, f"{cfg.name}_metrics.jsonl")
     metrics_fh = open(metrics_path, "a")
+    tb = None
+    if args.tensorboard_dir:
+        from mydetection_tpu.utils.tb_writer import TBWriter
+        tb = TBWriter(args.tensorboard_dir)
 
     it = start_iter
     t_log = time.perf_counter()
@@ -145,6 +154,12 @@ def main() -> None:
             print(row, flush=True)
             metrics_fh.write(json.dumps(row) + "\n")
             metrics_fh.flush()
+            if tb is not None:
+                tb.add_scalars(
+                    {"train/lr": float(lr),
+                     "train/img_per_sec": rate,
+                     **{f"loss/{k}": v for k, v in m.items()}}, step=it)
+                tb.flush()
 
         if it % args.ckpt_every == 0 or it == args.iterations:
             path = os.path.join(args.ckpt_dir, f"{cfg.name}_{it}.npz")
@@ -178,7 +193,13 @@ def main() -> None:
             print(row, flush=True)
             metrics_fh.write(json.dumps(row) + "\n")
             metrics_fh.flush()
+            if tb is not None:
+                tb.add_scalars({"val/AP": row["val_AP"] or 0.0,
+                                "val/AP50": row["val_AP50"]}, step=it)
+                tb.flush()
 
+    if tb is not None:
+        tb.close()
     print(f"done at iteration {it}")
 
 
