@@ -25,22 +25,31 @@ from mydetection_tpu.models.layers import Params
 # darknet binary
 # ---------------------------------------------------------------------------
 
-def _yolov3_conv_sequence(params: Params) -> list[tuple[Params, bool]]:
-    """(conv param node, has_bn) in yolov3.cfg file order."""
+def _darknet53_conv_sequence(backbone: Params) -> list[tuple[Params, bool]]:
+    """(conv param node, has_bn) for the 52 backbone convs in
+    darknet cfg file order (= the content of darknet53.conv.74)."""
     seq: list[tuple[Params, bool]] = []
-    bb = params["backbone"]
 
     def add_cbl(node):  # conv_bn_leaky node
         seq.append((node, True))
 
-    add_cbl(bb["stem"])
+    add_cbl(backbone["stem"])
     from mydetection_tpu.models.darknet import STAGE_BLOCKS
     for si, nblocks in enumerate(STAGE_BLOCKS):
-        stage = bb[f"stage{si}"]
+        stage = backbone[f"stage{si}"]
         add_cbl(stage["down"])
         for bi in range(nblocks):
             add_cbl(stage[f"res{bi}"]["conv1"])
             add_cbl(stage[f"res{bi}"]["conv2"])
+    return seq
+
+
+def _yolov3_conv_sequence(params: Params) -> list[tuple[Params, bool]]:
+    """(conv param node, has_bn) in yolov3.cfg file order."""
+    seq = _darknet53_conv_sequence(params["backbone"])
+
+    def add_cbl(node):  # conv_bn_leaky node
+        seq.append((node, True))
 
     head = params["head"]
     for block, head_name, lateral in (("block5", "head5", "lateral4"),
@@ -55,35 +64,29 @@ def _yolov3_conv_sequence(params: Params) -> list[tuple[Params, bool]]:
     return seq
 
 
-def load_darknet_weights(params: Params, path: str) -> Params:
-    """Load official darknet yolov3.weights into a yolov3 param tree.
-
-    Returns a NEW tree (float32 numpy leaves); raises if the stream
-    length does not exactly match the parameter count.
-    """
-    import copy
-
+def _read_darknet_stream(path: str) -> np.ndarray:
     with open(path, "rb") as fh:
         major, minor, _rev = np.fromfile(fh, np.int32, 3)
         if major * 10 + minor >= 2:
             np.fromfile(fh, np.int64, 1)
         else:
             np.fromfile(fh, np.int32, 1)
-        stream = np.fromfile(fh, np.float32)
+        return np.fromfile(fh, np.float32)
 
-    params = copy.deepcopy(jax_to_numpy(params))
+
+def _fill_from_stream(seq, stream: np.ndarray, *, what: str) -> None:
     pos = 0
 
     def take(n):
         nonlocal pos
         if pos + n > len(stream):
             raise ValueError(
-                f"darknet weights exhausted at {pos}+{n} > {len(stream)}")
+                f"darknet {what} exhausted at {pos}+{n} > {len(stream)}")
         out = stream[pos: pos + n]
         pos += n
         return out
 
-    for node, has_bn in _yolov3_conv_sequence(params):
+    for node, has_bn in seq:
         if has_bn:
             w = node["conv"]["w"]
             kh, kw, c_in, c_out = w.shape
@@ -102,16 +105,51 @@ def load_darknet_weights(params: Params, path: str) -> Params:
 
     if pos != len(stream):
         raise ValueError(
-            f"darknet weights length mismatch: used {pos} of {len(stream)}")
+            f"darknet {what} length mismatch: used {pos} of {len(stream)}")
+
+
+def load_darknet_weights(params: Params, path: str) -> Params:
+    """Load official darknet yolov3.weights into a yolov3 param tree.
+
+    Returns a NEW tree (float32 numpy leaves); raises if the stream
+    length does not exactly match the parameter count.
+    """
+    import copy
+
+    params = copy.deepcopy(jax_to_numpy(params))
+    _fill_from_stream(_yolov3_conv_sequence(params),
+                      _read_darknet_stream(path), what="weights")
     return params
 
 
-def save_darknet_weights(params: Params, path: str) -> None:
-    """Inverse of load (for round-trip tests and interop)."""
+def load_darknet_backbone_weights(params: Params, path: str) -> Params:
+    """Load a backbone-only darknet file (darknet53.conv.74 — the
+    ImageNet-pretrained init the reference trains from [recalled;
+    SURVEY.md §3.4]) into the `backbone` of a yolov3/rapid param tree.
+
+    The head keeps its random init. Returns a NEW tree; raises if the
+    stream is not exactly the 52 backbone convs (e.g. a full
+    yolov3.weights file — use load_darknet_weights for those)."""
+    import copy
+
+    params = copy.deepcopy(jax_to_numpy(params))
+    _fill_from_stream(_darknet53_conv_sequence(params["backbone"]),
+                      _read_darknet_stream(path), what="backbone weights")
+    return params
+
+
+def save_darknet_weights(params: Params, path: str, *,
+                         backbone_only: bool = False) -> None:
+    """Inverse of load (round-trip tests and interop). With
+    `backbone_only`, writes a darknet53.conv.74-format file (the 52
+    backbone convs) readable by load_darknet_backbone_weights."""
     chunks = [np.asarray([0, 2, 0], np.int32).tobytes(),
               np.asarray([0], np.int64).tobytes()]
     out: list[np.ndarray] = []
-    for node, has_bn in _yolov3_conv_sequence(jax_to_numpy(params)):
+    tree = jax_to_numpy(params)
+    seq = (_darknet53_conv_sequence(tree["backbone"]) if backbone_only
+           else _yolov3_conv_sequence(tree))
+    for node, has_bn in seq:
         if has_bn:
             out += [node["bn"]["bias"], node["bn"]["scale"],
                     node["bn"]["mean"], node["bn"]["var"],

@@ -292,3 +292,35 @@ def test_retinanet_anchor_order():
                 k += 1
         off += h * w * a
     assert off == anchors.shape[0]
+
+
+def test_darknet_backbone_only_roundtrip(tmp_path):
+    """darknet53.conv.74-style files: backbone loads, head untouched,
+    and a full yolov3.weights file is rejected with a readable error."""
+    from mydetection_tpu.weight_import import load_darknet_backbone_weights
+
+    model = get_model("yolov3")
+    rng = jax.random.PRNGKey(5)
+    src = model.init(rng)
+    src = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jax.random.normal(rng, x.shape, jnp.float32), src)
+    path = str(tmp_path / "darknet53.conv.74")
+    save_darknet_weights(src, path, backbone_only=True)
+
+    fresh = get_model("yolov3").init(jax.random.PRNGKey(11))
+    loaded = load_darknet_backbone_weights(fresh, path)
+    tree_allclose(jax_to_numpy(src)["backbone"], loaded["backbone"])
+    # the head keeps its own init (not the donor's)
+    tree_allclose(jax_to_numpy(fresh)["head"], loaded["head"])
+
+    # the same file initializes a RAPiD tree (same Darknet-53 trunk)
+    rapid = get_model("rapid").init(jax.random.PRNGKey(12))
+    loaded_r = load_darknet_backbone_weights(rapid, path)
+    tree_allclose(jax_to_numpy(src)["backbone"]["stem"],
+                  loaded_r["backbone"]["stem"])
+
+    # a FULL weights file through the backbone loader fails readably
+    full = str(tmp_path / "full.weights")
+    save_darknet_weights(src, full)
+    with pytest.raises(ValueError, match="length mismatch"):
+        load_darknet_backbone_weights(fresh, full)

@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--resume", default=None,
                     help="checkpoint path to resume from")
+    ap.add_argument("--pretrained-backbone", default=None,
+                    help="darknet53.conv.74-style backbone-only weights "
+                         "to initialize from (yolov3/rapid; the "
+                         "reference's standard training init)")
     ap.add_argument("--tensorboard-dir", default=None,
                     help="also write TensorBoard event files here "
                          "(dependency-free writer, utils/tb_writer.py — "
@@ -91,6 +95,14 @@ def main() -> None:
           f"dataset={len(ds)} imgs devices={len(jax.devices())}")
 
     params = fast_init(model, jax.random.PRNGKey(args.seed))
+    if args.pretrained_backbone:
+        if cfg.family not in ("yolov3", "rapid"):
+            raise SystemExit("--pretrained-backbone is darknet-format "
+                             "(yolov3/rapid families only)")
+        from mydetection_tpu.weight_import import load_darknet_backbone_weights
+        params = load_darknet_backbone_weights(jax.device_get(params),
+                                               args.pretrained_backbone)
+        print(f"backbone initialized from {args.pretrained_backbone}")
     velocity = sgd_init(params)
     start_iter = 0
     if args.resume:
