@@ -38,6 +38,8 @@ def main() -> None:
                          "a float run to measure the PTQ mAP cost)")
     ap.add_argument("--calib-images", type=int, default=32,
                     help="calibration images for --quantized")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard eval batches over all local devices")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -46,6 +48,8 @@ def main() -> None:
     from mydetection_tpu.eval.evaluator import evaluate_detector
 
     overrides = {}
+    if args.data_parallel:
+        overrides["data_parallel"] = True
     if args.input_size:
         overrides["input_size"] = args.input_size
     if args.float32:
