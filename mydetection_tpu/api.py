@@ -385,6 +385,20 @@ class Detector:
 
     # -- public surface ----------------------------------------------------
 
+    def warmup(self, *, input_sizes: Sequence[int] | None = None,
+               batch_size: int = 1) -> None:
+        """Pre-compile the detect graph for each (input_size, batch)
+        bucket so the first real request doesn't pay XLA compilation
+        (~20-40 s cold on TPU). One graph exists per bucket; serving
+        code should warm every bucket it will receive."""
+        from mydetection_tpu.registry import check_input_size
+
+        sizes = list(input_sizes) if input_sizes else [self.cfg.input_size]
+        for s in sizes:
+            check_input_size(s)
+            canvas = np.zeros((batch_size, s, s, 3), np.uint8)
+            self._run_batch(canvas, self.cfg.conf_thres, self.cfg.nms_iou, s)
+
     def detect_one(self, *, img_path=None, pil_img=None, np_img=None,
                    conf_thres: float | None = None, nms_iou: float | None = None,
                    input_size: int | None = None, visualize: bool = False,

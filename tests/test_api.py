@@ -241,3 +241,17 @@ def test_pack_input_rejected_for_resnet_family():
         Detector(model_name="retinanet", input_size=128, num_classes=3,
                  compute_dtype=jnp.float32, use_pallas=False,
                  pack_input=True)
+
+
+def test_warmup_compiles_buckets(detector):
+    # warmup then detect: same pipeline object => no retrace, identical
+    # results as a cold path
+    detector.warmup(input_sizes=[128], batch_size=1)
+    assert (128 in detector._jitted
+            or any(k == 128 or (isinstance(k, tuple) and 128 in k)
+                   for k in detector._jitted))
+    img = np.random.RandomState(3).randint(0, 255, (200, 200, 3), np.uint8)
+    dets = detector.detect_one(np_img=img, conf_thres=0.4)
+    assert dets.boxes_xyxy.shape[1] == 4
+    with pytest.raises(ValueError, match="multiple of 32"):
+        detector.warmup(input_sizes=[100])
