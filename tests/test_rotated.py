@@ -185,3 +185,32 @@ def test_pallas_suppress_matches_oracle():
                                          iou_thres=0.3, block=32,
                                          interpret=True))
     np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("block", [32, 64, 128])
+def test_pallas_suppress_block_sizes(block):
+    """Fixpoint suppress is block-size invariant (semantics must not
+    depend on the perf tile): kernel == greedy oracle for every block."""
+    from mydetection_tpu.ops.pallas.rotated_nms_kernel import nms_from_iou_pallas
+    from mydetection_tpu.ops.rotated import (
+        pairwise_rotated_iou,
+        rotated_nms_padded,
+    )
+
+    rng = np.random.RandomState(7)
+    k, n_real = 256, 200
+    boxes = np.zeros((k, 5), np.float32)
+    boxes[:n_real, :2] = rng.uniform(30, 480, (n_real, 2))
+    boxes[:n_real, 2:4] = rng.uniform(15, 100, (n_real, 2))
+    boxes[:n_real, 4] = rng.uniform(-1.5, 1.5, n_real)
+    scores = np.full(k, NEG_INF, np.float32)
+    scores[:n_real] = np.sort(rng.uniform(0, 1, n_real))[::-1]
+
+    expect = np.asarray(rotated_nms_padded(jnp.asarray(boxes),
+                                           jnp.asarray(scores),
+                                           iou_thres=0.4, block=64))
+    iou = pairwise_rotated_iou(jnp.asarray(boxes), jnp.asarray(boxes))
+    got = np.asarray(nms_from_iou_pallas(iou, jnp.asarray(scores),
+                                         iou_thres=0.4, block=block,
+                                         interpret=True))
+    np.testing.assert_array_equal(got, expect)
