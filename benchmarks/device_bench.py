@@ -45,7 +45,8 @@ DEFAULTS = {  # model -> benched input size (reference operating points)
 
 def bench_model(model_name: str, *, input_size: int | None = None,
                 batch: int = 32, iters: int = 6,
-                scan_batches: int | None = None) -> dict:
+                scan_batches: int | None = None,
+                cost_model: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -119,15 +120,18 @@ def bench_model(model_name: str, *, input_size: int | None = None,
         "images_per_sec_per_chip": round(ips, 2),
         "device_ms_per_batch": round(1000.0 * batch / ips, 2),
     }
-    # MFU from XLA's own cost model of the one-batch detect graph
-    # (Pallas calls count 0 flops -> reported MFU is a floor)
-    from mydetection_tpu.utils.flops import compiled_flops, mfu
-    fl = compiled_flops(detect, params, imgs[0])
-    if fl:
-        row["gflops_per_image"] = round(fl / batch / 1e9, 2)
-        u = mfu(fl / batch, ips, "bfloat16" if on_tpu else "float32")
-        if u is not None:
-            row["mfu"] = round(u, 3)
+    if cost_model:
+        # MFU from XLA's own cost model of the one-batch detect graph
+        # (Pallas calls count 0 flops -> reported MFU is a floor).
+        # Opt-in (--mfu): it compiles one extra executable per model,
+        # which would slow the driver's multi-family bench run.
+        from mydetection_tpu.utils.flops import compiled_flops, mfu
+        fl = compiled_flops(detect, params, imgs[0])
+        if fl:
+            row["gflops_per_image"] = round(fl / batch / 1e9, 2)
+            u = mfu(fl / batch, ips, "bfloat16" if on_tpu else "float32")
+            if u is not None:
+                row["mfu"] = round(u, 3)
     return row
 
 
@@ -142,12 +146,16 @@ def main() -> None:
     ap.add_argument("--scan-batches", type=int, default=None)
     ap.add_argument("--no-record", action="store_true",
                     help="print only; don't append to device_bench.json")
+    ap.add_argument("--mfu", action="store_true",
+                    help="also report gflops_per_image and mfu from "
+                         "XLA's cost model (one extra compile per model)")
     args = ap.parse_args()
 
     names = sorted(DEFAULTS) if args.all else [args.model]
     for name in names:
         row = bench_model(name, input_size=args.input_size, batch=args.batch,
-                          iters=args.iters, scan_batches=args.scan_batches)
+                          iters=args.iters, scan_batches=args.scan_batches,
+                          cost_model=args.mfu)
         print(json.dumps(row), flush=True)
         if not args.no_record:
             with open(os.path.join(HERE, "device_bench.json"), "a") as fh:
