@@ -52,17 +52,30 @@ def main() -> None:
 
     def prefix_fn(upto: str):
         def fn(p, x):
-            y = L.normalize_input(x, dtype)
-            y = L.standardize_imagenet(y)
             pb = p["backbone"]
-            y, _ = resnet._conv_bn(pb["stem"], y, stride=2,
-                                   compute_dtype=dtype)
-            y = jnp.maximum(y, 0.0)
-            if upto == "stem":
-                return jnp.sum(y.astype(jnp.float32))
-            y = L.max_pool(y, 3, 2)
-            if upto == "maxpool":
-                return jnp.sum(y.astype(jnp.float32))
+            if on_tpu:
+                # the SHIPPED pipeline folds /255 + ImageNet standardize
+                # into the stem conv on TPU (registry forward_raw) —
+                # profile the same path, or the heads+decode diff
+                # silently absorbs the fold-vs-standard stem difference
+                # the folded helper returns the POST-maxpool activation,
+                # so "stem" reports the fused normalize+conv+pool cost
+                # and the "maxpool" split reads ~0 on TPU
+                y = resnet._stem_standardize_folded(
+                    pb["stem"], x.astype(dtype), compute_dtype=dtype)
+                if upto in ("stem", "maxpool"):
+                    return jnp.sum(y.astype(jnp.float32))
+            else:
+                y = L.normalize_input(x, dtype)
+                y = L.standardize_imagenet(y)
+                y, _ = resnet._conv_bn(pb["stem"], y, stride=2,
+                                       compute_dtype=dtype)
+                y = jnp.maximum(y, 0.0)
+                if upto == "stem":
+                    return jnp.sum(y.astype(jnp.float32))
+                y = L.max_pool(y, 3, 2)
+                if upto == "maxpool":
+                    return jnp.sum(y.astype(jnp.float32))
             feats = []
             for si, nb in enumerate(resnet.STAGE_BLOCKS[50]):
                 stage = pb[f"stage{si}"]
