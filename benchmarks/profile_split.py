@@ -52,11 +52,7 @@ def main() -> None:
 
     from mydetection_tpu.models import darknet, layers as L, yolov3
     from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
-    from mydetection_tpu.ops.nms import (
-        NEG_INF,
-        _nms_and_select,
-        postprocess_impl,
-    )
+    from mydetection_tpu.ops.nms import NEG_INF, postprocess_impl
     from mydetection_tpu.registry import get_model
 
     backend = jax.default_backend()

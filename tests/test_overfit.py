@@ -109,3 +109,56 @@ def test_train_step_donated_buffers():
                       gt_valid, jnp.float32(1e-3))
     jax.tree_util.tree_map(lambda a: np.asarray(a).sum(), params)
     assert np.isfinite(float(m2["total"]))
+
+
+@pytest.mark.slow
+def test_train_to_detection_end_to_end():
+    """The strongest offline learning gate: train on a 4-image set,
+    then the PUBLIC detect pipeline (letterbox -> graph -> NMS ->
+    inverse map) must recover the GT boxes at IoU>0.5. Catches
+    train/serve decode mismatches that a loss-drop assertion cannot
+    (measured: 160 iters, all 8 GT recovered, ~8 min on the CI host)."""
+    from mydetection_tpu.api import Detector
+
+    rng = np.random.RandomState(0)
+    B, S, N = 4, 64, 2
+    images = rng.randint(0, 255, (B, S, S, 3), np.uint8)
+    gt_boxes, gt_classes = [], []
+    for i in range(B):
+        gt_boxes.append([[16 + 6 * i, 20, 14, 10], [44, 44, 12, 16]])
+        gt_classes.append([0, 2])
+    gt_boxes = jnp.asarray(gt_boxes, jnp.float32)
+    gt_classes = jnp.asarray(gt_classes, jnp.int32)
+    gt_valid = jnp.ones((B, N), bool)
+    imgs_j = jnp.asarray(images)
+
+    model = get_model("yolov3", input_size=S, num_classes=4,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    vel = sgd_init(params)
+    step = make_train_step(model, input_size=S)
+    for it in range(160):
+        lr = burn_in_lr(it, base_lr=2e-3, burn_in=20)
+        params, vel, m = step(params, vel, imgs_j, gt_boxes, gt_classes,
+                              gt_valid, lr)
+    assert np.isfinite(float(m["total"]))
+
+    det = Detector(model_name="yolov3", input_size=S, num_classes=4,
+                   compute_dtype=jnp.float32, use_pallas=False,
+                   params=params)
+    hits = 0
+    for i in range(B):
+        d = det.detect_one(np_img=images[i], conf_thres=0.3)
+        for cx, cy, w, h in np.asarray(gt_boxes[i]):
+            gx1, gy1 = cx - w / 2, cy - h / 2
+            gx2, gy2 = cx + w / 2, cy + h / 2
+            best = 0.0
+            for x1, y1, x2, y2 in d.boxes_xyxy:
+                ix = max(0.0, min(x2, gx2) - max(x1, gx1))
+                iy = max(0.0, min(y2, gy2) - max(y1, gy1))
+                inter = ix * iy
+                union = (x2 - x1) * (y2 - y1) + w * h - inter
+                best = max(best, inter / union if union > 0 else 0.0)
+            hits += best > 0.5
+    # measured 8/8; >=6 absorbs conv-algorithm drift across jax builds
+    assert hits >= 6, f"only {hits}/8 GT boxes recovered"
