@@ -255,3 +255,21 @@ def test_warmup_compiles_buckets(detector):
     assert dets.boxes_xyxy.shape[1] == 4
     with pytest.raises(ValueError, match="multiple of 32"):
         detector.warmup(input_sizes=[100])
+
+
+def test_non_rgb_inputs(detector):
+    """Grayscale/RGBA PIL and 2-D numpy inputs all normalize to RGB
+    in the letterbox (a reference user's scans/PNGs just work)."""
+    rng = np.random.RandomState(11)
+    gray = Image.fromarray(rng.randint(0, 255, (120, 160), np.uint8), "L")
+    rgba = Image.fromarray(
+        rng.randint(0, 255, (120, 160, 4), np.uint8), "RGBA")
+    d1 = detector.detect_one(pil_img=gray, conf_thres=0.5)
+    d2 = detector.detect_one(pil_img=rgba, conf_thres=0.5)
+    d3 = detector.detect_one(np_img=rng.randint(0, 255, (120, 160),
+                                                np.uint8), conf_thres=0.5)
+    for d in (d1, d2, d3):
+        assert d.boxes_xyxy.shape[1] == 4
+        if len(d):
+            assert (d.boxes_xyxy[:, 2] <= 160 + 1e-3).all()
+            assert (d.boxes_xyxy[:, 3] <= 120 + 1e-3).all()
