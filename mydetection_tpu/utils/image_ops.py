@@ -47,6 +47,9 @@ def letterbox_pil(img: Image.Image, input_size: int) -> tuple[np.ndarray, Letter
     if img.mode != "RGB":
         img = img.convert("RGB")
     ori_w, ori_h = img.size
+    if ori_w == 0 or ori_h == 0:
+        raise ValueError(f"empty image ({ori_w}x{ori_h}) cannot be "
+                         "letterboxed")
     ratio = input_size / max(ori_w, ori_h)
     new_w = max(1, int(round(ori_w * ratio)))
     new_h = max(1, int(round(ori_h * ratio)))

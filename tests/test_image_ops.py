@@ -67,3 +67,13 @@ def test_empty_detections():
     _, info = letterbox_pil(img, 416)
     out = detections_to_original(np.zeros((0, 5), np.float32), info)
     assert out.shape == (0, 5)
+
+
+def test_letterbox_rejects_empty_image():
+    import numpy as np
+    import pytest
+
+    from mydetection_tpu.utils.image_ops import letterbox_np
+
+    with pytest.raises(ValueError, match="empty image"):
+        letterbox_np(np.zeros((0, 0, 3), np.uint8), 64)
