@@ -144,10 +144,10 @@ def check_input_size(size: int) -> None:
     shape error (e.g. 500 → C3=63 vs upsample2x(C4)=64). Fail HERE
     with a readable message instead.
     """
-    if size % 32 != 0:
+    if size < 32 or size % 32 != 0:
         raise ValueError(
-            f"input_size must be a multiple of 32, got {size} (the "
-            "backbone downsamples by 32 and the neck/FPN re-merges "
+            f"input_size must be a positive multiple of 32, got {size} "
+            "(the backbone downsamples by 32 and the neck/FPN re-merges "
             "levels with exact 2x upsampling)")
 
 

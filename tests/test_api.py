@@ -273,3 +273,10 @@ def test_non_rgb_inputs(detector):
         if len(d):
             assert (d.boxes_xyxy[:, 2] <= 160 + 1e-3).all()
             assert (d.boxes_xyxy[:, 3] <= 120 + 1e-3).all()
+
+
+def test_input_size_must_be_positive():
+    with pytest.raises(ValueError, match="positive multiple"):
+        get_model("yolov3", input_size=-32)
+    with pytest.raises(ValueError, match="positive multiple"):
+        get_model("yolov3", input_size=0)
