@@ -474,6 +474,11 @@ class Detector:
         if self._pack_input and isinstance(canvases, np.ndarray) \
                 and canvases.shape[-1] == 3:
             canvases = pack_s2d2(canvases)
+        if canvases.shape[-1] not in (3, 12):
+            raise ValueError(
+                f"detect_prepared expects (B, S, S, 3) RGB or "
+                f"(B, S/2, S/2, 12) S2D-2 packed canvases, got trailing "
+                f"dim {canvases.shape[-1]} (shape {tuple(canvases.shape)})")
         packed = canvases.shape[-1] == 12
         size = int(canvases.shape[1]) * (2 if packed else 1)
         run = self._pipeline(size)

@@ -280,3 +280,12 @@ def test_input_size_must_be_positive():
         get_model("yolov3", input_size=-32)
     with pytest.raises(ValueError, match="positive multiple"):
         get_model("yolov3", input_size=0)
+
+
+def test_detect_prepared_rejects_bad_channels(detector):
+    from mydetection_tpu.utils.image_ops import letterbox_np
+
+    _, info = letterbox_np(np.zeros((64, 64, 3), np.uint8), 128)
+    with pytest.raises(ValueError, match="trailing dim 4"):
+        detector.detect_prepared(np.zeros((1, 128, 128, 4), np.uint8),
+                                 [info])
