@@ -220,6 +220,11 @@ class TrainLoader:
                  rotated: bool = False, rotate_prob: float | None = None,
                  rescale_every: int = 10, seed: int = 0,
                  device_put: bool = True):
+        if len(dataset) == 0:
+            raise ValueError(
+                "TrainLoader: dataset is empty — every epoch would "
+                "yield zero batches and the training loop would spin "
+                "forever (check the annotation file / skip_empty)")
         self.ds = dataset
         self.batch_size = batch_size
         self.sizes = list(sizes)

@@ -356,3 +356,15 @@ def test_letterbox_labels_math():
     boxes = np.array([[100.0, 50, 40, 20]], np.float32)
     out = letterbox_labels(boxes, ratio=0.5, pad_x=10, pad_y=20)
     np.testing.assert_allclose(out[0], [60, 45, 20, 10])
+
+
+def test_train_loader_rejects_empty_dataset():
+    import pytest
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+    with pytest.raises(ValueError, match="dataset is empty"):
+        TrainLoader(Empty(), batch_size=4, sizes=[64], max_gt=4,
+                    device_put=False)
