@@ -20,12 +20,22 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Iterable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
+
+# Persistent XLA compile cache (opt-in): with MYDET_COMPILE_CACHE set
+# to a directory, recompiles of unchanged (model, input-size, batch)
+# graphs across process restarts become disk loads — the 20-40 s cold
+# Detector start drops to seconds for a warmed cache (docs/SERVING.md).
+_cache_dir = os.environ.get("MYDET_COMPILE_CACHE")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from mydetection_tpu import checkpoint as ckpt_lib
 from mydetection_tpu.ops.nms import postprocess_impl

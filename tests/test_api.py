@@ -289,3 +289,26 @@ def test_detect_prepared_rejects_bad_channels(detector):
     with pytest.raises(ValueError, match="trailing dim 4"):
         detector.detect_prepared(np.zeros((1, 128, 128, 4), np.uint8),
                                  [info])
+
+
+def test_persistent_compile_cache(tmp_path):
+    """MYDET_COMPILE_CACHE wires up XLA's disk cache at import time —
+    a fresh process writes compiled executables into the directory."""
+    import subprocess
+    import sys
+
+    cache = tmp_path / "xla_cache"
+    env = dict(os.environ, MYDET_COMPILE_CACHE=str(cache),
+               JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    code = (
+        "import numpy as np, jax.numpy as jnp\n"
+        "from mydetection_tpu import Detector\n"
+        "det = Detector(model_name='yolov3', input_size=64, num_classes=3,\n"
+        "               compute_dtype=jnp.float32, use_pallas=False)\n"
+        "det.detect_one(np_img=np.zeros((64, 64, 3), np.uint8))\n"
+        "print('OK')\n")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    entries = list(cache.rglob("*")) if cache.exists() else []
+    assert any(p.is_file() for p in entries), (out.stdout, out.stderr[-500:])
