@@ -206,6 +206,10 @@ def main() -> None:
         return y
 
     if args.check:
+        # On TPU, f32 convs default to bf16 MXU passes; pin true-f32
+        # precision so the reassociation tolerance matches CPU.
+        ctx = jax.default_matmul_precision("float32")
+        ctx.__enter__()
         x32 = normalize_input(imgs_u8[0, :2], jnp.float32)
 
         def chain32(x, **kw):
@@ -227,6 +231,7 @@ def main() -> None:
             # float32 slack is conv-sum reassociation through BN+LReLU
             assert err < 2e-3, name
         print("checks passed")
+        ctx.__exit__(None, None, None)
 
     def checksum(y):
         return jnp.sum(y.astype(jnp.float32))
