@@ -20,6 +20,9 @@ import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
 
 def bench(model_name: str = "yolov3", input_size: int = 416,
           batch: int = 32, iters: int = 5, scan_batches: int = 40,

@@ -26,6 +26,9 @@ import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
 
 def bench(model_name: str = "yolov3", input_size: int = 416,
           batch: int = 32, iters: int = 4, scan_batches: int = 10) -> dict:
