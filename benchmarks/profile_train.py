@@ -89,6 +89,19 @@ def main() -> None:
                 s = sum(jnp.sum(t.astype(jnp.float32)) for t in
                         jax.tree_util.tree_leaves(dense))
                 return p, v, s
+        elif upto == "fwd_train":
+            # train-mode dense forward WITHOUT the loss: isolates what
+            # BN batch stats + the standard (non-S2D) early chain cost
+            # over the inference graph, so fwd_loss - fwd_train is
+            # approximately the pure target-assignment + loss math.
+            def body(p, v, x, gb, gc, gv):
+                dense, updates = model.forward_dense(p, x, train=True)
+                s = sum(jnp.sum(t.astype(jnp.float32)) for t in
+                        jax.tree_util.tree_leaves(dense))
+                s = s + 0.0 * sum(
+                    jnp.sum(t.astype(jnp.float32)) for t in
+                    jax.tree_util.tree_leaves(updates))
+                return p, v, s
         elif upto == "fwd_loss":
             def body(p, v, x, gb, gc, gv):
                 total, _ = loss_fn(p, x, gb, gc, gv)
@@ -132,7 +145,7 @@ def main() -> None:
         assert np.isfinite(acc)
         return 1000.0 * dt / (g_scan * args.iters)
 
-    segments = ["fwd_dense", "fwd_loss", "grad", "step"]
+    segments = ["fwd_dense", "fwd_train", "fwd_loss", "grad", "step"]
     cum, prev_ms = {}, 0.0
     record = {"model": args.model, "input_size": size, "batch": batch,
               "backend": backend, "split_ms": {}}

@@ -153,50 +153,117 @@ def _tile_bn(bn: Params, r: int = 4) -> Params:
                                                   "mean", "var")}
 
 
+def _bn_s2d_train(y: jnp.ndarray, bn: Params):
+    """Train-mode BatchNorm on an S2D-domain activation (phase-major
+    4·C channels). The four phase blocks of a logical channel hold
+    disjoint quarters of the SAME original feature map, so pooling the
+    batch statistics over (B, H, W, phase) reproduces the standard
+    path's per-channel stats exactly (same pixel multiset, same count
+    n = B·H₀·W₀). Returns (normalized y, running-stat updates) shaped
+    like the ORIGINAL C-channel tree — checkpoints/resume unchanged."""
+    from mydetection_tpu.models.layers import BN_EPS, BN_MOMENTUM
+
+    c4 = y.shape[-1]
+    c = c4 // 4
+    yf = y.astype(jnp.float32).reshape(y.shape[:-1] + (4, c))
+    axes = tuple(range(yf.ndim - 1))          # (B, H, W, phase)
+    mean = jnp.mean(yf, axis=axes)            # (C,)
+    var = jnp.var(yf, axis=axes)
+    n = 1
+    for a in axes:
+        n *= yf.shape[a]
+    unbiased = var * (n / max(n - 1, 1))
+    new_stats = {
+        "mean": BN_MOMENTUM * bn["mean"] + (1 - BN_MOMENTUM) * mean,
+        "var": BN_MOMENTUM * bn["var"] + (1 - BN_MOMENTUM) * unbiased,
+    }
+    scale = bn["scale"] * jax.lax.rsqrt(var + BN_EPS)
+    shift = bn["bias"] - mean * scale
+    y = (y * jnp.tile(scale, 4).astype(y.dtype)
+         + jnp.tile(shift, 4).astype(y.dtype))
+    return y, new_stats
+
+
 def _cbl_s2d(p: Params, x, weight_fn, padding, *, stride=1, tiled_bn=True,
-             compute_dtype):
-    """conv_bn_leaky with a phase-transformed weight."""
+             compute_dtype, train: bool = False):
+    """conv_bn_leaky with a phase-transformed weight.
+
+    Returns y in eval mode, (y, bn_stats) in train mode. Train-mode BN
+    pools batch stats over the phase blocks (`_bn_s2d_train`) for
+    S2D-domain outputs (tiled_bn=True); the exit conv's original-domain
+    output uses the standard train BN. Gradients flow through the
+    weight folds (pure gather/scatter transforms of p["conv"]["w"]),
+    so the S2D chain trains the SAME parameter tree as the standard
+    path."""
     y = conv2d(x, weight_fn(p["conv"]["w"]), stride=stride,
                padding=padding, compute_dtype=compute_dtype)
+    if train:
+        if tiled_bn:
+            y, stats = _bn_s2d_train(y, p["bn"])
+        else:
+            y, stats = batch_norm(y, p["bn"], train=True)
+        return leaky_relu(y), stats
     bn = _tile_bn(p["bn"]) if tiled_bn else p["bn"]
     y, _ = batch_norm(y, bn, train=False)
     return leaky_relu(y)
 
 
 def _early_s2d(params: Params, x: jnp.ndarray, *, compute_dtype,
-               packed: bool = False) -> jnp.ndarray:
+               packed: bool = False, train: bool = False):
     """stem → stage0.down → stage0.res0 → stage1.down, all in the 2×2
     space-to-depth domain (see module comment). Returns the ORIGINAL-
     domain (B, H/4, W/4, 128) stage1.down activation, numerically equal
-    to the standard path (inference BN). Exactness is pinned by
-    tests/test_models.py::test_darknet_s2d_stem_matches_standard_path.
+    to the standard path. Exactness is pinned by
+    tests/test_models.py::test_darknet_s2d_stem_matches_standard_path
+    (inference) and test_darknet_s2d_train_matches_standard (train-mode
+    forward, BN stats, and gradients).
+
+    Train mode (`train=True`) returns (y, updates) where updates holds
+    the phase-pooled BN running-stat updates keyed like the standard
+    path's tree: {"stem", "stage0", "stage1_down"} — the caller slots
+    "stage1_down" into stage1's update dict.
 
     `packed`: x is already host-packed S2D-2 (B, H/2, W/2, 12), see
     utils/image_ops.pack_s2d2. The stem conv then IS the S2D-in/out
     3×3 cell conv (`_s2d_conv3_weight`) — no device-side relayout and
     no C=3-minor input tensor at all. Chain output is identical."""
     s0, s1 = params["stage0"], params["stage1"]
+
+    def cbl(p, y, weight_fn, padding, **kw):
+        out = _cbl_s2d(p, y, weight_fn, padding,
+                       compute_dtype=compute_dtype, train=train, **kw)
+        return out if train else (out, None)
+
     if packed:
         # stem: S2D layout in (12 ch), S2D(4·32) out
-        y = _cbl_s2d(params["stem"], x, _s2d_conv3_weight,
-                     [(1, 1), (1, 1)], compute_dtype=compute_dtype)
+        y, st_stem = cbl(params["stem"], x, _s2d_conv3_weight,
+                         [(1, 1), (1, 1)])
     else:
         # stem: original layout in, S2D(32ch) out — no input relayout
-        y = _cbl_s2d(params["stem"], x, _phase_fold_s1_weight,
-                     [(1, 1), (1, 1)], stride=2, compute_dtype=compute_dtype)
+        y, st_stem = cbl(params["stem"], x, _phase_fold_s1_weight,
+                         [(1, 1), (1, 1)], stride=2)
     # stage0 downsample: S2D → S2D (half the cells)
-    y = _cbl_s2d(s0["down"], y, _phase_fold_s2_weight,
-                 [(1, 0), (1, 0)], stride=2, compute_dtype=compute_dtype)
+    y, st_down0 = cbl(s0["down"], y, _phase_fold_s2_weight,
+                      [(1, 0), (1, 0)], stride=2)
     # stage0's single residual block, phase-inflated
-    r = _cbl_s2d(s0["res0"]["conv1"], y, _blockdiag_1x1_weight,
-                 [(0, 0), (0, 0)], compute_dtype=compute_dtype)
-    r = _cbl_s2d(s0["res0"]["conv2"], r, _s2d_conv3_weight,
-                 [(1, 1), (1, 1)], compute_dtype=compute_dtype)
+    r, st_c1 = cbl(s0["res0"]["conv1"], y, _blockdiag_1x1_weight,
+                   [(0, 0), (0, 0)])
+    r, st_c2 = cbl(s0["res0"]["conv2"], r, _s2d_conv3_weight,
+                   [(1, 1), (1, 1)])
     y = y + r
     # stage1 downsample exits the S2D domain (output C=128 fills lanes)
-    return _cbl_s2d(s1["down"], y, _s2d_exit_weight,
-                    [(1, 0), (1, 0)], tiled_bn=False,
-                    compute_dtype=compute_dtype)
+    y, st_down1 = cbl(s1["down"], y, _s2d_exit_weight,
+                      [(1, 0), (1, 0)], tiled_bn=False)
+    if not train:
+        return y
+    updates = {
+        "stem": {"bn": st_stem},
+        "stage0": {"down": {"bn": st_down0},
+                   "res0": {"conv1": {"bn": st_c1},
+                            "conv2": {"bn": st_c2}}},
+        "stage1_down": {"bn": st_down1},
+    }
+    return y, updates
 
 
 def init(rng: jax.Array) -> Params:
@@ -276,9 +343,13 @@ def _res_stage(stage: Params, y: jnp.ndarray, nblocks: int, *,
 
 def _use_s2d(s2d_stem: bool | None, train: bool, x: jnp.ndarray) -> bool:
     """Resolve the space-to-depth early-stage policy. None = auto:
-    inference on TPU with spatial dims divisible by 4 (the S2D chain
-    runs through two downsamples; every %32 input size qualifies)."""
-    ok = (not train) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+    TPU with spatial dims divisible by 4 (the S2D chain runs through
+    two downsamples; every %32 input size qualifies). Training uses
+    the chain too — BN batch stats pool over the phase blocks
+    (`_bn_s2d_train`, exact) and gradients flow through the weight
+    folds; `train` is accepted for signature stability."""
+    del train
+    ok = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
     if s2d_stem is None:
         return ok and jax.default_backend() == "tpu"
     return s2d_stem and ok
@@ -303,10 +374,18 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
         raise ValueError("packed S2D-2 input is an inference-only fast "
                          "path (BN batch stats need the original layout)")
     s2d = packed or _use_s2d(s2d_stem, train, x)
+    s2d_stage1_down = None
     if s2d:
         # stem + stage0 + stage1.down in one space-to-depth chain
-        y = _early_s2d(params, x, compute_dtype=compute_dtype,
-                       packed=packed)
+        if train:
+            y, s2d_updates = _early_s2d(params, x,
+                                        compute_dtype=compute_dtype,
+                                        packed=packed, train=True)
+            s2d_stage1_down = s2d_updates.pop("stage1_down")
+            updates.update(s2d_updates)
+        else:
+            y = _early_s2d(params, x, compute_dtype=compute_dtype,
+                           packed=packed)
     else:
         y, s = conv_bn_leaky(params["stem"], x, train=train,
                              compute_dtype=compute_dtype)
@@ -319,7 +398,9 @@ def apply(params: Params, x: jnp.ndarray, *, train: bool = False,
         stage = params[f"stage{si}"]
         stage_updates: Params = {}
         if si == 1 and s2d:
-            pass  # stage1.down already applied inside _early_s2d
+            # stage1.down already applied inside _early_s2d
+            if train:
+                stage_updates["down"] = s2d_stage1_down
         else:
             y, s = conv_bn_leaky(stage["down"], y, stride=2, train=train,
                                  compute_dtype=compute_dtype)

@@ -39,7 +39,59 @@ def test_darknet_s2d_stem_matches_standard_path():
     x_odd = jnp.asarray(np.random.RandomState(1).randn(1, 33, 33, 3)
                         .astype(np.float32))
     assert not darknet._use_s2d(True, False, x_odd)
-    assert not darknet._use_s2d(None, True, x)  # train mode: BN stats
+    assert not darknet._use_s2d(True, True, x_odd)  # train, odd dims
+
+
+def test_darknet_s2d_train_matches_standard():
+    """Training through the S2D chain is exact: forward features, BN
+    batch-stat updates (phase-pooled over the 4 phase blocks — same
+    pixel multiset as the standard reduction), and parameter gradients
+    (flowing through the weight folds) all match the standard path.
+
+    Tolerances: the weight folds are exact (f64: pre-BN relayout diff
+    0.0, pooled mean/var diff ~1e-15 — verified), but batch_norm
+    quantizes batch stats to float32 in BOTH paths, and that rounding
+    lands differently for the two reduction layouts; through 53 chained
+    BN layers + backward it amplifies to ~2e-5 on features and ~2e-4
+    on scaled gradients (measured; identical magnitude under x64,
+    which pins it to the f32 stat cast, not the rewrite)."""
+    params = darknet.init(jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3)
+                    .astype(np.float32))
+
+    def run(s2d):
+        def loss(p):
+            feats, upd = darknet.apply(p, x, train=True, s2d_stem=s2d,
+                                       scan_blocks=False)
+            return sum(jnp.sum(f ** 2) for f in feats) / 1e3, (feats, upd)
+
+        (val, (feats, upd)), grads = jax.value_and_grad(
+            loss, has_aux=True)(params)
+        return val, feats, upd, grads
+
+    val_r, feats_r, upd_r, grads_r = jax.jit(lambda: run(False))()
+    val_g, feats_g, upd_g, grads_g = jax.jit(lambda: run(True))()
+
+    np.testing.assert_allclose(float(val_g), float(val_r), rtol=1e-5)
+    for r, g in zip(feats_r, feats_g):
+        r, g = np.asarray(r), np.asarray(g)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(g / scale, r / scale, atol=1e-4)
+    # identical tree structure AND values for BN updates + grads
+    assert (jax.tree_util.tree_structure(upd_r)
+            == jax.tree_util.tree_structure(upd_g))
+    for r, g in zip(jax.tree_util.tree_leaves(upd_r),
+                    jax.tree_util.tree_leaves(upd_g)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=1e-4)
+    for (pr, r), (pg, g) in zip(
+            jax.tree_util.tree_leaves_with_path(grads_r),
+            jax.tree_util.tree_leaves_with_path(grads_g)):
+        assert pr == pg
+        r, g = np.asarray(r), np.asarray(g)
+        scale = np.abs(r).max() + 1e-8
+        np.testing.assert_allclose(g / scale, r / scale, atol=1e-3,
+                                   err_msg=jax.tree_util.keystr(pr))
 
 
 def test_darknet_packed_s2d2_input_matches_standard_path():
