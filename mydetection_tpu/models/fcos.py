@@ -78,9 +78,14 @@ def init(rng: jax.Array, num_classes: int = 80, *, channels: int = 256) -> Param
     keys = KeyGen(rng)
 
     def tower() -> Params:
+        # N(0, 0.01) like torchvision's FCOSClassificationHead — the GN
+        # renormalizes tower activations, but the out convs below have
+        # no norm after them, and He-scale out weights swamp the focal
+        # prior bias (see conv_init's docstring)
         p: Params = {}
         for i in range(4):
-            p[f"conv{i}"] = conv_init(keys(), 3, channels, channels, bias=True)
+            p[f"conv{i}"] = conv_init(keys(), 3, channels, channels,
+                                      bias=True, std=0.01)
             p[f"gn{i}"] = _gn_init(channels)
         return p
 
@@ -88,9 +93,10 @@ def init(rng: jax.Array, num_classes: int = 80, *, channels: int = 256) -> Param
     p: Params = {
         "cls_tower": tower(),
         "box_tower": tower(),
-        "cls_out": conv_init(keys(), 3, channels, num_classes, bias=True),
-        "box_out": conv_init(keys(), 3, channels, 4, bias=True),
-        "ctr_out": conv_init(keys(), 3, channels, 1, bias=True),
+        "cls_out": conv_init(keys(), 3, channels, num_classes, bias=True,
+                             std=0.01),
+        "box_out": conv_init(keys(), 3, channels, 4, bias=True, std=0.01),
+        "ctr_out": conv_init(keys(), 3, channels, 1, bias=True, std=0.01),
         "scales": jnp.ones((len(STRIDES),), jnp.float32),
     }
     p["cls_out"]["b"] = jnp.full((num_classes,), cls_bias, jnp.float32)

@@ -70,8 +70,22 @@ def kaiming_conv_init(rng: jax.Array, ksize: int, c_in: int, c_out: int,
 
 
 def conv_init(rng: jax.Array, ksize: int, c_in: int, c_out: int,
-              bias: bool = False) -> Params:
-    p: Params = {"w": kaiming_conv_init(rng, ksize, c_in, c_out)}
+              bias: bool = False, std: float | None = None) -> Params:
+    """Conv params; He-normal weight by default.
+
+    `std`: fixed gaussian std instead of He scaling. RetinaNet/FCOS
+    detection heads REQUIRE std=0.01 (arXiv 1708.02002 §4.1 /
+    torchvision RetinaNetHead): with He-scale weights the 5-conv subnet
+    produces O(1) logits that swamp the -log((1-π)/π) focal prior bias,
+    so the init cls loss lands ~4 orders too high and SGD diverges to
+    NaN within a few steps (measured on TPU bf16 @608 before the fix).
+    """
+    if std is None:
+        w = kaiming_conv_init(rng, ksize, c_in, c_out)
+    else:
+        w = std * jax.random.normal(
+            rng, (ksize, ksize, c_in, c_out), jnp.float32)
+    p: Params = {"w": w}
     if bias:
         p["b"] = jnp.zeros((c_out,), jnp.float32)
     return p

@@ -100,10 +100,14 @@ def init(rng: jax.Array, num_classes: int = 80, *, channels: int = 256) -> Param
     keys = KeyGen(rng)
 
     def subnet(c_final: int, final_bias: float) -> Params:
+        # every subnet conv is N(0, 0.01) (paper §4.1 / torchvision) —
+        # see conv_init's docstring for why He-scale diverges here
         p: Params = {}
         for i in range(4):
-            p[f"conv{i}"] = conv_init(keys(), 3, channels, channels, bias=True)
-        p["out"] = conv_init(keys(), 3, channels, c_final, bias=True)
+            p[f"conv{i}"] = conv_init(keys(), 3, channels, channels,
+                                      bias=True, std=0.01)
+        p["out"] = conv_init(keys(), 3, channels, c_final, bias=True,
+                             std=0.01)
         p["out"]["b"] = jnp.full((c_final,), final_bias, jnp.float32)
         return p
 

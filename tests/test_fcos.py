@@ -116,3 +116,26 @@ def test_end_to_end_forward_shapes():
     assert dense["score_logits"].shape == (1, n, 80)
     assert dense["score_mul"].shape == (1, n)
     assert np.isfinite(np.asarray(dense["boxes"])).all()
+
+
+@pytest.mark.slow
+def test_head_init_keeps_focal_prior():
+    """Tower + out convs are N(0, 0.01) like torchvision's FCOS head:
+    a He-scale cls_out swamps the -log((1-π)/π) prior bias and random
+    images score ~0.5 instead of ~0.01 at init (see retinanet's
+    divergence regression test for the training consequence)."""
+    model = get_model("fcos", input_size=128, num_classes=8,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3), np.uint8))
+    dense, _ = jax.jit(model.forward_dense)(params, imgs)
+    s = 1 / (1 + np.exp(-np.asarray(dense["score_logits"], np.float32)))
+    assert 0.005 < float(s.mean()) < 0.02
+
+    gt_boxes = jnp.asarray(rng.uniform(30, 90, (2, 4, 4)), jnp.float32)
+    terms = model.loss(params, imgs, gt_boxes,
+                       jnp.asarray(rng.randint(0, 8, (2, 4)), jnp.int32),
+                       jnp.ones((2, 4), bool), input_size=128)
+    assert np.isfinite(float(terms["total"]))
+    assert float(terms["total"]) < 20.0, float(terms["total"])
