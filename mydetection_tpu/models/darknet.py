@@ -291,16 +291,27 @@ def _res_block(p: Params, x: jnp.ndarray, *, train: bool, compute_dtype):
     return x + y, stats
 
 
-def _use_scan(scan_blocks: bool | None) -> bool:
-    """Resolve the block-scan policy. None = auto: scan on TPU only.
+def _use_scan(scan_blocks: bool | None, train: bool = False) -> bool:
+    """Resolve the block-scan policy. None = auto: scan on TPU,
+    INFERENCE only.
 
     lax.scan over stacked block params compiles the block body once per
     stage (fast TPU cold-start); on XLA:CPU the scan runtime + scan
     backward are SLOWER than the unrolled graph (measured: train step
     compile 34 s vs 21 s, execution 1.4x slower), so CPU unrolls.
+
+    Training unrolls on TPU too: the scan BACKWARD dominates the train
+    step — each reverse iteration re-gathers the block's weights from
+    the stacked (n, ...) leaves, scatters dw back with a
+    dynamic-update-slice over the full f32 stack (37 MB per stage-2/3
+    touch), and round-trips the bf16 activation carry through VMEM
+    (XPlane: 43.6 ms of while-op time per 87.3 ms step,
+    benchmarks/xplane_top_ops.json). Unrolled, XLA schedules the same
+    convs as straight-line code: 87.3 -> 70.9 ms/step (+23% train
+    throughput) for ~22 s extra cold compile (56.7 s vs 34.5).
     """
     if scan_blocks is None:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and not train
     return scan_blocks
 
 
@@ -315,7 +326,7 @@ def _res_stage(stage: Params, y: jnp.ndarray, nblocks: int, *,
     per block — identical math, much smaller XLA graph.
     """
     blocks = [stage[f"res{bi}"] for bi in range(nblocks)]
-    if nblocks == 1 or not _use_scan(scan_blocks):
+    if nblocks == 1 or not _use_scan(scan_blocks, train):
         stats: Params = {}
         for bi in range(nblocks):
             y, s = _res_block(blocks[bi], y, train=train,

@@ -213,8 +213,9 @@ def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
           stem_fold_std: bool = False):
     """NHWC float batch → (C3, C4, C5), plus BN-update tree.
 
-    `scan_blocks`: None (auto: scan on TPU — see darknet._use_scan for
-    the measured CPU regression) / True / False.
+    `scan_blocks`: None (auto: scan on TPU, inference only — see
+    darknet._use_scan for the measured CPU and train-backward
+    regressions) / True / False.
     `s2d_stem`: True folds the stem+maxpool into the space-to-depth
     domain — an exact rewrite (tested), but measured SLOWER end-to-end
     on v5e (67 vs 59 ms/batch-32 @608: the 9×9-stride-4 phase-folded
@@ -261,7 +262,7 @@ def apply(params: Params, x: jnp.ndarray, *, depth: int = 50,
                            train=train, compute_dtype=compute_dtype)
         if train:
             su["block0"] = s
-        if nblocks > 1 and _use_scan(scan_blocks):
+        if nblocks > 1 and _use_scan(scan_blocks, train):
             blocks = [stage[f"block{bi}"] for bi in range(1, nblocks)]
             stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *blocks)
 
