@@ -324,3 +324,18 @@ def test_stride2_padding_matches_torch():
     ours = np.asarray(max_pool(jnp.asarray(x), 3, 2))
     ref = F.max_pool2d(xt, 3, stride=2, padding=1).numpy()
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref)
+
+
+def test_use_scan_policy(monkeypatch):
+    """Block-scan resolves: TPU inference scans (fast cold compile),
+    TPU training unrolls (the scan backward cost 43.6 ms/step of
+    while-op time — see _use_scan docstring), CPU always unrolls;
+    explicit True/False override the auto policy."""
+    monkeypatch.setattr(darknet.jax, "default_backend", lambda: "tpu")
+    assert darknet._use_scan(None) is True
+    assert darknet._use_scan(None, train=True) is False
+    assert darknet._use_scan(True, train=True) is True
+    assert darknet._use_scan(False) is False
+    monkeypatch.setattr(darknet.jax, "default_backend", lambda: "cpu")
+    assert darknet._use_scan(None) is False
+    assert darknet._use_scan(None, train=True) is False
