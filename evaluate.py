@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write results JSON here")
     ap.add_argument("--float32", action="store_true",
                     help="float32 compute (bit-consistency runs)")
+    ap.add_argument("--exact-topk", action="store_true",
+                    help="exact pre-NMS top-k (the TPU serving default "
+                         "uses approx_max_k at 0.95 recall; pass this "
+                         "for parity/reference mAP runs)")
     ap.add_argument("--rotated", action="store_true",
                     help="rotated-box evaluation (fisheye datasets, "
                          "AP50/AP75 with rotated-IoU matching)")
@@ -54,6 +58,8 @@ def main() -> None:
         overrides["input_size"] = args.input_size
     if args.float32:
         overrides["compute_dtype"] = jnp.float32
+    if args.exact_topk:
+        overrides["approx_topk"] = False
     if args.quantized:
         import glob
         import os

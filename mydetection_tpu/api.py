@@ -490,6 +490,12 @@ class Detector:
                 f"(B, S/2, S/2, 12) S2D-2 packed canvases, got trailing "
                 f"dim {canvases.shape[-1]} (shape {tuple(canvases.shape)})")
         packed = canvases.shape[-1] == 12
+        if packed and self.cfg.family not in ("yolov3", "rapid"):
+            raise ValueError(
+                f"S2D-2 packed canvases require a darknet-backbone family "
+                f"(yolov3/rapid); model {self.cfg.name!r} is family "
+                f"{self.cfg.family!r} — stage unpacked (B, S, S, 3) "
+                f"canvases (StreamingPipeline(pack_s2d2=False))")
         size = int(canvases.shape[1]) * (2 if packed else 1)
         run = self._pipeline(size)
         batch = canvases if self.mesh is None else self._place_batch(canvases)

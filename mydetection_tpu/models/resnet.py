@@ -25,6 +25,8 @@ from mydetection_tpu.models.layers import (
     conv2d,
     conv_init,
     max_pool,
+    normalize_input,
+    standardize_imagenet,
 )
 
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
@@ -89,6 +91,29 @@ def _stem_s2d(stem: Params, x: jnp.ndarray, *, compute_dtype) -> jnp.ndarray:
     y, _ = batch_norm(y, _tile_bn(stem["bn"]), train=False)
     y = jnp.maximum(y, 0.0)
     return _maxpool_s2d_exit(y, stem["conv"]["w"].shape[-1])
+
+
+def prepare_input(x: jnp.ndarray, *, compute_dtype,
+                  train: bool = False) -> tuple[jnp.ndarray, bool]:
+    """THE ResNet-family input policy — one definition shared by the
+    float builders (registry retinanet/fcos forward_raw) and the int8
+    prologue (quant_resnet._prologue), so the 'calibration and serving
+    see identical activations' invariant cannot silently drift.
+
+    Decides whether /255 + ImageNet standardize FOLD into the stem
+    conv (uint8 inference on TPU — kills the C=3-minor elementwise
+    passes; see _stem_standardize_folded) or run as elementwise
+    passes. Returns (x_prepared, fold): when fold, x_prepared is the
+    RAW 0..255 batch cast to compute dtype, for consumption by
+    apply(..., stem_fold_std=True) / the quantized prologue."""
+    dt = compute_dtype if compute_dtype is not None else jnp.float32
+    fold = (x.dtype == jnp.uint8 and not train
+            and jax.default_backend() == "tpu")
+    if fold:
+        return x.astype(dt), True
+    if x.dtype == jnp.uint8:
+        return standardize_imagenet(normalize_input(x, dt)), False
+    return standardize_imagenet(x.astype(dt)), False
 
 
 def _stem_standardize_folded(stem: Params, x_raw: jnp.ndarray, *,

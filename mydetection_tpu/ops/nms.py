@@ -176,6 +176,25 @@ def postprocess_impl(boxes: jnp.ndarray, scores: jnp.ndarray | None = None, *,
         gate = jax.nn.sigmoid(
             jnp.max(score_logits, axis=1).astype(jnp.float32))
         box_max = gate if score_mul is None else gate * score_mul
+        if not multi_label:
+            # single-label decode on the deferred-sigmoid path: best
+            # class per box (argmax is sigmoid-invariant), then the
+            # same conf-gate → top-k → NMS as the dense single-label
+            # branch below. Honors ModelConfig(multi_label=False)
+            # overrides on retinanet/fcos.
+            box_cls = jnp.argmax(score_logits, axis=1).astype(jnp.int32)
+            gated = jnp.where(box_max >= conf_thres, box_max, NEG_INF)
+            top_scores, box_idx = topk_select(gated, kb, approx_topk)
+            if kb < pre_nms:
+                pad = pre_nms - kb
+                top_scores = jnp.concatenate(
+                    [top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
+                box_idx = jnp.concatenate(
+                    [box_idx, jnp.zeros((pad,), box_idx.dtype)])
+            return _nms_and_select(boxes[box_idx], top_scores,
+                                   box_cls[box_idx], iou_thres=iou_thres,
+                                   max_dets=max_dets, block=block,
+                                   use_pallas=use_pallas)
         _, box_sel = topk_select(box_max, kb, approx_topk)
         sel_scores = jax.nn.sigmoid(
             score_logits[box_sel].astype(jnp.float32))   # (kb, C)

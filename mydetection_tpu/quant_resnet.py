@@ -59,8 +59,6 @@ from mydetection_tpu.models.layers import (
     batch_norm,
     conv2d,
     max_pool,
-    normalize_input,
-    standardize_imagenet,
     upsample2x,
 )
 from mydetection_tpu.quant import _conv_i8, _quant, fold_cbl, quantize_weight
@@ -276,21 +274,15 @@ def _region(be, qb: Params, qf: Params, qh: Params, y, *, cfg):
 # ---------------------------------------------------------------------------
 
 def _prologue(backbone: Params, images, compute_dtype) -> jnp.ndarray:
-    """uint8/float batch -> post-maxpool stem activation. Same
-    normalize/standardize/stem-fold policy as the registry's float
-    forward_raw, so calibration and serving see identical activations."""
-    x = images
-    fold = x.dtype == jnp.uint8 and jax.default_backend() == "tpu"
+    """uint8/float batch -> post-maxpool stem activation. The
+    normalize/standardize/stem-fold policy is resnet.prepare_input —
+    the SAME definition the registry's float forward_raw uses, so
+    calibration and serving see identical activations by construction."""
+    x, fold = resnet.prepare_input(images, compute_dtype=compute_dtype,
+                                   train=False)
     if fold:
-        x = x.astype(compute_dtype or jnp.float32)
         return resnet._stem_standardize_folded(backbone["stem"], x,
                                                compute_dtype=compute_dtype)
-    if x.dtype == jnp.uint8:
-        x = standardize_imagenet(normalize_input(x, compute_dtype
-                                                 or jnp.float32))
-    else:
-        x = standardize_imagenet(
-            x.astype(compute_dtype) if compute_dtype is not None else x)
     y = conv2d(x, backbone["stem"]["conv"]["w"], stride=2,
                compute_dtype=compute_dtype)
     y, _ = batch_norm(y, backbone["stem"]["bn"], train=False)

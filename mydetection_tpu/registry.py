@@ -290,19 +290,10 @@ def _build_retinanet(depth: int):
             }
 
         def forward_raw(params, images, *, train: bool = False):
-            x = images
-            fold = (x.dtype == jnp.uint8 and not train
-                    and jax.default_backend() == "tpu")
-            if fold:
-                # /255 + ImageNet standardize fold into the stem conv
-                # (exact; kills the C=3-minor elementwise passes —
-                # resnet._stem_standardize_folded)
-                x = x.astype(cfg.compute_dtype)
-            elif x.dtype == jnp.uint8:
-                x = L.standardize_imagenet(
-                    L.normalize_input(x, cfg.compute_dtype))
-            else:
-                x = L.standardize_imagenet(x.astype(cfg.compute_dtype))
+            # normalize/standardize/stem-fold policy: resnet.prepare_input
+            x, fold = resnet.prepare_input(images,
+                                           compute_dtype=cfg.compute_dtype,
+                                           train=train)
             feats, bu = resnet.apply(params["backbone"], x, depth=depth,
                                      train=train, compute_dtype=cfg.compute_dtype,
                                      stem_fold_std=fold)
@@ -407,18 +398,10 @@ def _build_fcos(cfg: ModelConfig) -> Model:
         }
 
     def forward_raw(params, images, *, train: bool = False):
-        x = images
-        fold = (x.dtype == jnp.uint8 and not train
-                and jax.default_backend() == "tpu")
-        if fold:
-            # exact stem-side fold of /255 + ImageNet standardize (see
-            # resnet._stem_standardize_folded)
-            x = x.astype(cfg.compute_dtype)
-        elif x.dtype == jnp.uint8:
-            x = L.standardize_imagenet(
-                L.normalize_input(x, cfg.compute_dtype))
-        else:
-            x = L.standardize_imagenet(x.astype(cfg.compute_dtype))
+        # normalize/standardize/stem-fold policy: resnet.prepare_input
+        x, fold = resnet.prepare_input(images,
+                                       compute_dtype=cfg.compute_dtype,
+                                       train=train)
         feats, bu = resnet.apply(params["backbone"], x, depth=50,
                                  train=train, compute_dtype=cfg.compute_dtype,
                                  stem_fold_std=fold)

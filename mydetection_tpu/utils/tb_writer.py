@@ -64,6 +64,10 @@ def _masked_crc(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    # proto varints are unsigned; negative int64s encode as their
+    # two's complement (10 bytes). Masking also keeps the loop finite —
+    # Python's arithmetic right-shift never zeroes a negative n.
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

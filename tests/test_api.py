@@ -312,3 +312,18 @@ def test_persistent_compile_cache(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     entries = list(cache.rglob("*")) if cache.exists() else []
     assert any(p.is_file() for p in entries), (out.stdout, out.stderr[-500:])
+
+
+def test_packed_canvases_rejected_for_resnet_family():
+    """detect_prepared with S2D-2 packed (…,12) canvases on a ResNet
+    family fails with a readable family message, not a deep shape
+    error (only darknet backbones have a packed stem)."""
+    from mydetection_tpu.utils.image_ops import LetterboxInfo
+
+    det = Detector(model_name="retinanet", input_size=128, num_classes=3,
+                   compute_dtype=jnp.float32, use_pallas=False)
+    packed = np.zeros((1, 64, 64, 12), np.uint8)
+    info = LetterboxInfo(ori_w=128, ori_h=128, ratio=1.0,
+                         pad_x=0, pad_y=0, input_size=128)
+    with pytest.raises(ValueError, match="darknet-backbone"):
+        det.detect_prepared(packed, [info])

@@ -150,3 +150,36 @@ def test_approx_topk_config_flows_to_detector():
     assert det.cfg.approx_topk is False
     det2 = Detector(model_name="yolov3", input_size=64)
     assert det2.cfg.approx_topk is True
+
+
+def test_score_logits_single_label_honors_multi_label_false():
+    """ModelConfig(multi_label=False) must reach the deferred-sigmoid
+    (score_logits) path: a box whose logits put TWO classes above
+    conf_thres yields ONE detection (best class), matching the dense
+    single-label branch exactly."""
+    import jax
+
+    n, c = 300, 4
+    rng = np.random.RandomState(5)
+    boxes = rng.uniform(0, 300, (n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(10, 60, (n, 2))
+    logits = np.full((n, c), -6.0, np.float32)
+    # box 0: classes 1 and 2 both confident -> single-label keeps cls 1
+    logits[0, 1] = 3.0
+    logits[0, 2] = 2.5
+    logits[7, 3] = 2.0
+    kw = dict(conf_thres=0.3, iou_thres=0.5, pre_nms=128, max_dets=10)
+    out = postprocess(jnp.asarray(boxes), score_logits=jnp.asarray(logits),
+                      multi_label=False, **kw)
+    dense = postprocess(jnp.asarray(boxes),
+                        np.asarray(jax.nn.sigmoid(jnp.asarray(logits))),
+                        multi_label=False, **kw)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 2  # NOT 3 — box 0 contributes one pair only
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(dense[k]),
+                                   rtol=1e-6, atol=1e-6)
+    # and multi_label=True on the same logits DOES emit both classes
+    ml = postprocess(jnp.asarray(boxes), score_logits=jnp.asarray(logits),
+                     multi_label=True, **kw)
+    assert np.asarray(ml["valid"]).sum() == 3

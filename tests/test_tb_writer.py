@@ -59,3 +59,12 @@ def test_corruption_detected(tmp_path):
         raise AssertionError("corruption not detected")
     except ValueError as e:
         assert "crc" in str(e)
+
+
+def test_varint_negative_terminates_as_twos_complement():
+    """Negative ints encode as their unsigned two's complement (proto
+    int64 semantics) instead of looping forever on Python's arithmetic
+    right-shift."""
+    enc = tb._varint(-1)
+    assert enc == b"\xff" * 9 + b"\x01"  # 64 one-bits -> 10 bytes
+    assert tb._varint(-2) == b"\xfe" + b"\xff" * 8 + b"\x01"
