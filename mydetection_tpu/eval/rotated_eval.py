@@ -21,6 +21,17 @@ import numpy as np
 REC_THRS = np.linspace(0.0, 1.0, 101)
 
 
+def _bucket(n: int) -> int:
+    """Next power-of-two ≥ n (min 8) — per-image det/GT counts vary, so
+    padding to buckets keeps the jitted IoU kernel at O(log) distinct
+    shapes over a whole dataset instead of one XLA compile per
+    (num_dets, num_gts) pair."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 def _rotated_iou_matrix(dets5: np.ndarray, gts5: np.ndarray) -> np.ndarray:
     import jax.numpy as jnp
 
@@ -28,8 +39,40 @@ def _rotated_iou_matrix(dets5: np.ndarray, gts5: np.ndarray) -> np.ndarray:
 
     if len(dets5) == 0 or len(gts5) == 0:
         return np.zeros((len(dets5), len(gts5)), np.float32)
-    return np.asarray(pairwise_rotated_iou(jnp.asarray(dets5, jnp.float32),
-                                           jnp.asarray(gts5, jnp.float32)))
+    d, g = len(dets5), len(gts5)
+
+    def pad(a, n):
+        # dummy rows: unit boxes far outside any image — IoU 0 with
+        # everything real, sliced away below
+        out = np.full((n, 5), np.float32(0))
+        out[:, :2] = -1e8
+        out[:, 2:4] = 1.0
+        out[: len(a)] = a
+        return out
+
+    iou = np.asarray(pairwise_rotated_iou(
+        jnp.asarray(pad(dets5, _bucket(d))),
+        jnp.asarray(pad(gts5, _bucket(g)))))
+    return iou[:d, :g]
+
+
+def _rotated_iof_matrix(dets5: np.ndarray, crowds5: np.ndarray) -> np.ndarray:
+    """Intersection-over-foreground (det area) vs crowd regions — the
+    pycocotools iscrowd semantics: a det counts as covered by a crowd
+    when most of the DET lies inside it, regardless of the crowd's own
+    (large) area."""
+    import jax.numpy as jnp
+
+    from mydetection_tpu.ops.rotated import rotated_intersection_area_lb
+
+    if len(dets5) == 0 or len(crowds5) == 0:
+        return np.zeros((len(dets5), len(crowds5)), np.float32)
+    d, c = len(dets5), len(crowds5)
+    inter = np.asarray(rotated_intersection_area_lb(
+        jnp.asarray(dets5, jnp.float32)[:, None, :],
+        jnp.asarray(crowds5, jnp.float32)[None, :, :]))
+    areas = np.maximum(dets5[:, 2] * dets5[:, 3], 1e-9)
+    return (inter / areas[:, None]).astype(np.float32).reshape(d, c)
 
 
 def evaluate_rotated(results: list[dict] | str, gt: dict | str, *,
@@ -50,8 +93,13 @@ def evaluate_rotated(results: list[dict] | str, gt: dict | str, *,
             gt = json.load(fh)
 
     gts_by_img: dict[int, list] = defaultdict(list)
+    crowds_by_img: dict[int, list] = defaultdict(list)
     for ann in gt.get("annotations", []):
+        # crowd/ignore regions: never counted as GT, but detections
+        # covered by one are excluded from scoring (COCO protocol,
+        # mirroring eval/cocoeval.py) instead of becoming FPs
         if ann.get("iscrowd", 0):
+            crowds_by_img[ann["image_id"]].append(ann["bbox"])
             continue
         gts_by_img[ann["image_id"]].append(ann["bbox"])
     img_ids = sorted({im["id"] for im in gt.get("images", [])})
@@ -64,26 +112,28 @@ def evaluate_rotated(results: list[dict] | str, gt: dict | str, *,
     for r in results:
         dets_by_img[r["image_id"]].append((float(r["score"]), r["bbox"]))
 
-    # per-image IoU matrices (score-sorted dets)
+    # per-image IoU (vs GT) + IoF (vs crowd) matrices, score-sorted dets
     per_img = {}
     for img_id in img_ids:
         dets = sorted(dets_by_img.get(img_id, []), key=lambda x: -x[0])
         gts = gts_by_img.get(img_id, [])
+        crowds = crowds_by_img.get(img_id, [])
         d5 = np.asarray([d[1] for d in dets], np.float32).reshape(-1, 5)
         g5 = np.asarray(gts, np.float32).reshape(-1, 5)
-        if len(d5):
-            d5[:, 4] = np.radians(d5[:, 4])
-        if len(g5):
-            g5[:, 4] = np.radians(g5[:, 4])
+        c5 = np.asarray(crowds, np.float32).reshape(-1, 5)
+        for arr in (d5, g5, c5):
+            if len(arr):
+                arr[:, 4] = np.radians(arr[:, 4])
         per_img[img_id] = (np.asarray([d[0] for d in dets], np.float32),
-                           _rotated_iou_matrix(d5, g5))
+                           _rotated_iou_matrix(d5, g5),
+                           _rotated_iof_matrix(d5, c5))
 
     out = {}
     aps = []
     for thr in iou_thrs:
         scores_all, tp_all = [], []
         for img_id in img_ids:
-            scores, iou = per_img[img_id]
+            scores, iou, iof = per_img[img_id]
             g = iou.shape[1]
             taken = np.zeros(g, bool)
             for di in range(len(scores)):
@@ -94,6 +144,10 @@ def evaluate_rotated(results: list[dict] | str, gt: dict | str, *,
                 tp = best_g >= 0
                 if tp:
                     taken[best_g] = True
+                elif iof.shape[1] and iof[di].max() >= thr:
+                    # unmatched det covered by a crowd region: ignored
+                    # (neither TP nor FP), per the COCO crowd protocol
+                    continue
                 scores_all.append(scores[di])
                 tp_all.append(tp)
         if not scores_all or num_gt == 0:

@@ -198,7 +198,13 @@ def _clipped_edge_contrib(corners: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarr
     # them ½: with the mirror call integrating the same segment (in
     # either direction) at ½, shared segments count exactly once for
     # overlapping interiors and cancel exactly for touching boxes.
-    tol = 2 * EPS_INSIDE
+    # tol MUST equal the slab inside-acceptance tolerance (EPS_INSIDE,
+    # axis_interval): halve exactly the segments whose mirror pass also
+    # integrates the shared face. A wider window (2·EPS_INSIDE was used
+    # before) halves edges sitting (EPS, 2·EPS] INSIDE the other box —
+    # whose mirror face-edge the inside test REJECTS — integrating that
+    # side at ½ total: measured 25% area error at a 1.5e-3 px offset.
+    tol = EPS_INSIDE
     on_face = ((jnp.abs(jnp.abs(ax) - hw) <= tol)
                & (jnp.abs(jnp.abs(bx) - hw) <= tol)
                & (jnp.sign(ax) == jnp.sign(bx))) | \

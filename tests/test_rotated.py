@@ -214,3 +214,27 @@ def test_pallas_suppress_block_sizes(block):
                                          iou_thres=0.4, block=block,
                                          interpret=True))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_near_face_tolerance_window_exact():
+    """Regression: an edge sitting (EPS_INSIDE, 2*EPS_INSIDE] px inside
+    the other box's parallel face used to be half-weighted while its
+    mirror face-edge was rejected, losing 25% of the area. The on_face
+    tolerance must match the slab inside-acceptance tolerance."""
+    from mydetection_tpu.ops.rotated import (
+        EPS_INSIDE,
+        rotated_intersection_area_lb,
+    )
+
+    for delta in (1.5 * EPS_INSIDE, 2.0 * EPS_INSIDE, 3.0 * EPS_INSIDE):
+        a = jnp.array([50.0 - delta, 50.0, 100.0, 100.0, 0.0])
+        b = jnp.array([50.0, 50.0, 100.0, 100.0, 0.0])
+        got = float(rotated_intersection_area_lb(a, b))
+        true = 100.0 * (100.0 - delta)
+        assert abs(got - true) < 0.01, (delta, got, true)
+    # within-tolerance offsets stay at shared-boundary fuzz level
+    for delta in (0.0, 0.5 * EPS_INSIDE):
+        a = jnp.array([50.0 - delta, 50.0, 100.0, 100.0, 0.0])
+        b = jnp.array([50.0, 50.0, 100.0, 100.0, 0.0])
+        got = float(rotated_intersection_area_lb(a, b))
+        assert abs(got - 100.0 * (100.0 - delta)) < 0.1

@@ -58,3 +58,31 @@ def test_missed_gt():
     stats = evaluate_rotated(res, gt, verbose=False)
     # recall caps at 0.5 with precision 1: 101-pt AP = 51/101
     assert stats["AP50"] == pytest.approx(51 / 101, abs=1e-6)
+
+
+def test_crowd_region_ignores_detections():
+    """A detection covered by an iscrowd GT is excluded from scoring
+    (COCO protocol) — it must not appear as an FP, and the crowd region
+    itself never counts as a GT."""
+    gt = {"images": [{"id": 0}],
+          "annotations": [
+              {"id": 0, "image_id": 0, "iscrowd": 0,
+               "bbox": [100, 100, 40, 20, 30.0]},
+              {"id": 1, "image_id": 0, "iscrowd": 1,
+               "bbox": [400, 400, 200, 200, 0.0]},
+          ]}
+    results = [
+        # perfect match to the real GT
+        {"image_id": 0, "bbox": [100, 100, 40, 20, 30.0], "score": 0.9},
+        # inside the crowd region: ignored, NOT an FP — scored above
+        # the TP so that, without crowd semantics, it would be an FP
+        # preceding every TP and provably drag AP below 1
+        {"image_id": 0, "bbox": [400, 400, 30, 30, 10.0], "score": 0.95},
+    ]
+    out = evaluate_rotated(results, gt, verbose=False)
+    assert out["AP50"] == pytest.approx(1.0)
+    # without crowd semantics the second det would cap precision at 0.5
+    gt_no_crowd = {"images": gt["images"],
+                   "annotations": gt["annotations"][:1]}
+    out2 = evaluate_rotated(results, gt_no_crowd, verbose=False)
+    assert out2["AP50"] < 1.0
