@@ -289,11 +289,15 @@ class Detector:
             return jnp.asarray(canvases)
         from mydetection_tpu.parallel.mesh import shard_batch
 
-        arr = np.asarray(canvases)
-        pad = (-arr.shape[0]) % self.mesh.devices.size
+        pad = (-canvases.shape[0]) % self.mesh.devices.size
         if pad:
+            arr = np.asarray(canvases)  # padding needs a host concat
             arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-        return shard_batch(arr, self.mesh)
+            return shard_batch(arr, self.mesh)
+        # already batch-aligned: device_put reshards device-resident
+        # batches device-to-device — no host round-trip for the
+        # StreamingPipeline(device_put=True) fast path
+        return shard_batch(canvases, self.mesh)
 
     # -- compiled pipeline -------------------------------------------------
 

@@ -77,7 +77,14 @@ class CocoDataset:
             else:
                 # COCO bbox is top-left xywh
                 boxes[i] = [bb[0] + bb[2] / 2, bb[1] + bb[3] / 2, bb[2], bb[3]]
-            classes[i] = self.cat_to_contig.get(ann["category_id"], 0)
+            cat = ann["category_id"]
+            if cat not in self.cat_to_contig:
+                raise ValueError(
+                    f"annotation {ann.get('id', '?')} (image {img_id}) "
+                    f"has category_id={cat}, absent from the dataset's "
+                    f"categories {sorted(self.cat_to_contig)} — refusing "
+                    f"to silently relabel it as class 0")
+            classes[i] = self.cat_to_contig[cat]
         return boxes, classes
 
     def __getitem__(self, index: int) -> dict:

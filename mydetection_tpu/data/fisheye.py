@@ -78,6 +78,13 @@ class HabbofDataset:
         self.num_classes = 1
         self.cat_to_contig = {1: 0}
         self.contig_to_cat = {0: 1}
+        if not any(self._ann_path(p) is not None for p in self.paths):
+            raise ValueError(
+                f"no annotation .txt resolved for ANY of the "
+                f"{len(self.paths)} frames in {img_dir!r} (looked next "
+                f"to each frame, in ann_dir={ann_dir!r}, and in an "
+                f"'annotations/' sibling) — pass ann_dir= pointing at "
+                f"the HABBOF label files")
 
     def _ann_path(self, img_path: str) -> str | None:
         stem = os.path.splitext(os.path.basename(img_path))[0]
@@ -106,7 +113,12 @@ class HabbofDataset:
                     if not parts:
                         continue
                     if not _is_number(parts[0]):
-                        parts = parts[1:]  # leading class token
+                        parts = parts[1:]  # leading word class token
+                    elif len(parts) >= 6:
+                        # NUMERIC class id variant ('0 cx cy w h deg'):
+                        # 6+ tokens means the first is the class, not
+                        # cx — without this the angle silently dropped
+                        parts = parts[1:]
                     if len(parts) < 5:
                         raise ValueError(
                             f"{ann}: expected `[person] cx cy w h "

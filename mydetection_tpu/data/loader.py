@@ -51,6 +51,7 @@ class _ThreadPool:
         self._indices = list(indices)
         self._max_ahead = max(prefetch, num_threads) * 2
         self._next_emit = 0
+        self._closed = False
         self._errors: list[BaseException] = []
         for pos, idx in enumerate(self._indices):
             self._in.put((pos, idx))
@@ -69,13 +70,14 @@ class _ThreadPool:
             pos, idx = item
             # backpressure: don't run far ahead of the consumer
             with self._done_lock:
-                while pos - self._next_emit > self._max_ahead and not self._errors:
+                while (pos - self._next_emit > self._max_ahead
+                       and not self._errors and not self._closed):
                     self._done_lock.wait(timeout=0.5)
-                if self._errors:
-                    # another worker failed: the consumer is about to
-                    # raise — stop instead of racing through the whole
-                    # remaining index stream into the never-drained
-                    # reorder buffer (memory + wasted decode)
+                if self._errors or self._closed:
+                    # another worker failed (consumer is about to
+                    # raise) or the consumer abandoned the stream:
+                    # stop instead of spinning forever in the
+                    # backpressure wait with the reorder buffer pinned
                     return
             try:
                 result = self._fn(idx)
@@ -88,17 +90,31 @@ class _ThreadPool:
                 self._done[pos] = result
                 self._done_lock.notify_all()
 
+    def close(self):
+        """Release the workers. Called automatically when the iterator
+        finishes OR is abandoned (generator finally) — without it, a
+        consumer breaking out mid-stream (train.py's iteration cap,
+        a partially-read StreamingPipeline) left every worker waiting
+        in the backpressure loop forever with the reorder buffer
+        pinned in memory."""
+        with self._done_lock:
+            self._closed = True
+            self._done_lock.notify_all()
+
     def __iter__(self):
-        for pos in range(len(self._indices)):
-            with self._done_lock:
-                while pos not in self._done and not self._errors:
-                    self._done_lock.wait()
-                if self._errors:
-                    raise self._errors[0]
-                result = self._done.pop(pos)
-                self._next_emit = pos + 1
-                self._done_lock.notify_all()
-            yield result
+        try:
+            for pos in range(len(self._indices)):
+                with self._done_lock:
+                    while pos not in self._done and not self._errors:
+                        self._done_lock.wait()
+                    if self._errors:
+                        raise self._errors[0]
+                    result = self._done.pop(pos)
+                    self._next_emit = pos + 1
+                    self._done_lock.notify_all()
+                yield result
+        finally:
+            self.close()
 
 
 class StreamingPipeline:
@@ -188,21 +204,24 @@ class StreamingPipeline:
             batch_canvases, batch_infos, batch_paths = [], [], []
             return out
 
-        for canvas, info in it:
-            batch_canvases.append(canvas)
-            batch_infos.append(info)
-            batch_paths.append(self.paths[pos])
-            pos += 1
-            if len(batch_canvases) == self.batch_size:
-                ready = flush()
-                if pending is not None:
-                    yield pending
-                pending = ready
-        tail = flush()
-        if pending is not None:
-            yield pending
-        if tail is not None:
-            yield tail
+        try:
+            for canvas, info in it:
+                batch_canvases.append(canvas)
+                batch_infos.append(info)
+                batch_paths.append(self.paths[pos])
+                pos += 1
+                if len(batch_canvases) == self.batch_size:
+                    ready = flush()
+                    if pending is not None:
+                        yield pending
+                    pending = ready
+            tail = flush()
+            if pending is not None:
+                yield pending
+            if tail is not None:
+                yield tail
+        finally:
+            pool.close()  # consumer may abandon the stream mid-batch
 
 
 class TrainLoader:
@@ -286,6 +305,14 @@ class TrainLoader:
         it = iter(pool)
 
         dim = 5 if self.rotated else 4
+        try:
+            yield from self._batches(it, sizes, nb, dim)
+        finally:
+            pool.close()  # train loops break out at an iteration cap
+
+    def _batches(self, it, sizes, nb, dim):
+        import jax
+
         for bi in range(nb):
             canvases, all_boxes, all_classes = [], [], []
             for _ in range(self.batch_size):

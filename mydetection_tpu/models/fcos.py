@@ -249,11 +249,10 @@ def loss(cls_logits, ltrb_pred, ctr_logits, locations, strides,
     num_pos = jnp.maximum(jnp.sum(positive), 1.0)
     cls_loss = jnp.sum(focal_loss(cls_logits, cls_onehot)) / num_pos
 
-    xy = locations[None]
-    pred_xyxy = jnp.concatenate(
-        [xy - ltrb_pred[..., 0:2], xy + ltrb_pred[..., 2:4]], -1)
-    tgt_xyxy = jnp.concatenate(
-        [xy - tgt_ltrb[..., 0:2], xy + tgt_ltrb[..., 2:4]], -1)
+    # one geometry definition for training and inference: a change to
+    # the location/decode convention cannot silently diverge the loss
+    pred_xyxy = decode_boxes(ltrb_pred, locations)
+    tgt_xyxy = decode_boxes(tgt_ltrb, locations)
     g = giou_loss(pred_xyxy, tgt_xyxy)                        # (B, N)
     # centerness-weighted box loss (FCOS normalization)
     w = ctr_tgt * positive

@@ -368,3 +368,68 @@ def test_train_loader_rejects_empty_dataset():
     with pytest.raises(ValueError, match="dataset is empty"):
         TrainLoader(Empty(), batch_size=4, sizes=[64], max_gt=4,
                     device_put=False)
+
+
+def test_habbof_numeric_class_token(tmp_path):
+    """6-token lines with a NUMERIC leading class id ('0 cx cy w h deg')
+    must strip the class token — previously the class id was consumed
+    as cx and the angle silently dropped."""
+    from mydetection_tpu.data import fisheye
+
+    root = tmp_path / "habbof-num"
+    root.mkdir()
+    img = np.random.RandomState(1).randint(0, 255, (60, 60, 3), np.uint8)
+    Image.fromarray(img).save(root / "a.jpg")
+    (root / "a.txt").write_text("0 512.5 200.25 55 110 12.5\n")
+    item = fisheye.HabbofDataset(str(root))[0]
+    np.testing.assert_allclose(
+        item["boxes"][0], [512.5, 200.25, 55, 110, np.radians(12.5)],
+        rtol=1e-6)
+
+
+def test_habbof_no_annotations_resolved_raises(tmp_path):
+    """If NO frame's annotation file resolves, init fails readably
+    instead of training against silently-empty labels."""
+    from mydetection_tpu.data import fisheye
+
+    root = tmp_path / "habbof-noann"
+    root.mkdir()
+    img = np.zeros((40, 40, 3), np.uint8)
+    Image.fromarray(img).save(root / "a.jpg")
+    with pytest.raises(ValueError, match="no annotation"):
+        fisheye.HabbofDataset(str(root))
+
+
+def test_threadpool_released_on_abandoned_iterator():
+    """Breaking out of a pool-backed stream must release the workers
+    (they used to spin in the backpressure wait forever, pinning the
+    reorder buffer)."""
+    import threading
+    import time
+
+    before = threading.active_count()
+    pool = _ThreadPool(lambda i: i * i, range(500), num_threads=3,
+                       prefetch=1)
+    it = iter(pool)
+    assert next(it) == 0
+    it.close()  # what a consumer's break/GC does to the generator
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if all(not t.is_alive() for t in pool._threads):
+            break
+        time.sleep(0.05)
+    assert all(not t.is_alive() for t in pool._threads)
+    assert threading.active_count() <= before
+
+
+def test_coco_unknown_category_id_raises(coco_dir):
+    """An annotation with a category_id absent from categories fails
+    readably instead of silently becoming class 0."""
+    gt = json.load(open(coco_dir / "ann.json"))
+    if not gt["annotations"]:
+        pytest.skip("fixture has no annotations")
+    gt["annotations"][0]["category_id"] = 9999
+    ds = CocoDataset(gt, str(coco_dir))
+    bad_img = gt["annotations"][0]["image_id"]
+    with pytest.raises(ValueError, match="category_id=9999"):
+        ds.load_labels(bad_img)
