@@ -34,8 +34,20 @@ def evaluate_detector(detector, ann_file: str | dict, img_dir: str, *,
         paths.append(os.path.join(img_dir, info.get("file_name", f"{img_id}.jpg")))
         ids.append(img_id)
 
-    # contiguous class id -> original COCO category id
+    # contiguous class id -> original COCO category id, from THIS
+    # annotation file's sorted category list (the same mapping
+    # CocoDataset derives at train time — a model is only evaluable
+    # against an annotation file with a compatible category set)
     contig_to_cat = {i: c for i, c in enumerate(sorted(gt.cats))}
+    if gt.cats and detector.cfg.num_classes != len(gt.cats):
+        raise ValueError(
+            f"model {detector.cfg.name!r} predicts "
+            f"{detector.cfg.num_classes} classes but the annotation "
+            f"file defines {len(gt.cats)} categories — class ids would "
+            f"map to wrong (or missing) category_ids. Build the "
+            f"Detector with num_classes={len(gt.cats)} (evaluate.py "
+            f"does this automatically) or evaluate against the "
+            f"dataset the model was trained on")
 
     results: list[dict] = []
     t0 = time.perf_counter()

@@ -63,7 +63,13 @@ def split2(rng: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def kaiming_conv_init(rng: jax.Array, ksize: int, c_in: int, c_out: int,
                       dtype=jnp.float32) -> jnp.ndarray:
-    """He-normal conv weight (HWIO), matching torch's default fan-in gain."""
+    """He-normal conv weight (HWIO): std = sqrt(2/fan_in).
+
+    NOTE: this is the He/Kaiming-NORMAL init, NOT torch's Conv2d
+    default (kaiming_uniform with a=sqrt(5), std ≈ sqrt(1/(3·fan_in)),
+    ~2.4x smaller) — step-0 activation magnitudes will differ from a
+    torch twin. Import parity is unaffected (imported weights replace
+    the init); from-scratch training uses this deliberately."""
     fan_in = ksize * ksize * c_in
     std = math.sqrt(2.0 / fan_in)
     return std * jax.random.normal(rng, (ksize, ksize, c_in, c_out), dtype)

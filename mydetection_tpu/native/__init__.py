@@ -114,7 +114,14 @@ def letterbox_rgb(img: np.ndarray, input_size: int):
     if lib is None:
         raise RuntimeError(f"native imagepipe unavailable: {_build_error}")
     img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"letterbox_rgb expects HWC RGB uint8, got "
+                         f"shape {img.shape}")
     h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        # mirror the Python path's guard (utils/image_ops): the C++
+        # ratio would be inf and the geometry NaN
+        raise ValueError(f"letterbox_rgb: empty image (shape {img.shape})")
     canvas = np.empty((input_size, input_size, 3), np.uint8)
     geom = np.empty(5, np.float32)
     rc = lib.letterbox_rgb(

@@ -22,6 +22,7 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -168,7 +169,13 @@ int decode_letterbox_jpeg(const uint8_t* data, size_t len, int input_size,
     ErrMgr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = error_exit;
+    // malloc'd (not std::vector): libjpeg errors longjmp back here,
+    // which would skip a vector's destructor (UB + a per-corrupt-image
+    // heap leak of w*h*3 bytes in long-running eval/serving). volatile:
+    // the pointer is written between setjmp and longjmp.
+    uint8_t* volatile rgb = nullptr;
     if (setjmp(jerr.jump)) {
+        std::free(rgb);
         jpeg_destroy_decompress(&cinfo);
         return 1;
     }
@@ -191,9 +198,14 @@ int decode_letterbox_jpeg(const uint8_t* data, size_t len, int input_size,
 
     jpeg_start_decompress(&cinfo);
     const int w = cinfo.output_width, h = cinfo.output_height;
-    std::vector<uint8_t> rgb(static_cast<size_t>(w) * h * 3);
+    rgb = static_cast<uint8_t*>(
+        std::malloc(static_cast<size_t>(w) * h * 3));
+    if (rgb == nullptr) {
+        jpeg_destroy_decompress(&cinfo);
+        return 3;
+    }
     while (cinfo.output_scanline < cinfo.output_height) {
-        uint8_t* row = rgb.data() +
+        uint8_t* row = rgb +
                        static_cast<size_t>(cinfo.output_scanline) * w * 3;
         JSAMPROW rows[1] = {row};
         jpeg_read_scanlines(&cinfo, rows, 1);
@@ -201,8 +213,9 @@ int decode_letterbox_jpeg(const uint8_t* data, size_t len, int input_size,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
 
-    letterbox_into(rgb.data(), h, w, static_cast<double>(ow),
+    letterbox_into(rgb, h, w, static_cast<double>(ow),
                    static_cast<double>(oh), input_size, canvas, geom);
+    std::free(rgb);
     return 0;
 }
 

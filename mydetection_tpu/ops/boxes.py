@@ -53,28 +53,31 @@ def pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, EPS)
 
 
-def elementwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """IoU between matched xyxy boxes of identical shape (..., 4)."""
+def _iou_union(a: jnp.ndarray, b: jnp.ndarray):
+    """(iou, union) for matched xyxy boxes — ONE definition of the
+    intersection/union math shared by IoU and GIoU (a divergent fix to
+    e.g. the EPS handling in only one of them would silently skew the
+    other)."""
     lt = jnp.maximum(a[..., :2], b[..., :2])
     rb = jnp.minimum(a[..., 2:4], b[..., 2:4])
     wh = jnp.maximum(rb - lt, 0.0)
     inter = wh[..., 0] * wh[..., 1]
     union = box_area(a) + box_area(b) - inter
-    return inter / jnp.maximum(union, EPS)
+    return inter / jnp.maximum(union, EPS), union
+
+
+def elementwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU between matched xyxy boxes of identical shape (..., 4)."""
+    return _iou_union(a, b)[0]
 
 
 def elementwise_giou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Generalized IoU between matched xyxy boxes (..., 4) -> (...)."""
-    iou = elementwise_iou(a, b)
+    iou, union = _iou_union(a, b)
     lt = jnp.minimum(a[..., :2], b[..., :2])
     rb = jnp.maximum(a[..., 2:4], b[..., 2:4])
     wh = jnp.maximum(rb - lt, 0.0)
     hull = wh[..., 0] * wh[..., 1]
-    lt_i = jnp.maximum(a[..., :2], b[..., :2])
-    rb_i = jnp.minimum(a[..., 2:4], b[..., 2:4])
-    wh_i = jnp.maximum(rb_i - lt_i, 0.0)
-    inter = wh_i[..., 0] * wh_i[..., 1]
-    union = box_area(a) + box_area(b) - inter
     return iou - (hull - union) / jnp.maximum(hull, EPS)
 
 

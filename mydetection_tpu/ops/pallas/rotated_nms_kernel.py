@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+from mydetection_tpu.ops.pallas.common import greedy_fixpoint_keep
+
+NEG_INF = -1e30  # == ops.nms.NEG_INF (kept literal: no kernel↔nms import cycle)
 
 
 def _suppress_kernel(iou_ref, valid_ref, keep_ref, *, iou_thres: float,
@@ -39,8 +41,6 @@ def _suppress_kernel(iou_ref, valid_ref, keep_ref, *, iou_thres: float,
     keep_ref[0:1, :] = valid_ref[0:1, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)             # (1, K)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block, k), 0)     # (B, K)
-    col_b = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)   # (B, B)
-    row_col = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)     # (B, 1)
 
     def outer(b, _):
         start = b * block
@@ -52,32 +52,11 @@ def _suppress_kernel(iou_ref, valid_ref, keep_ref, *, iou_thres: float,
         intra = jax.lax.dot_general(tile, onehot, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         bk0 = jnp.sum(onehot * keep_ref[0:1, :], axis=1, keepdims=True)
-
-        # Intra-block greedy resolve as a FIXPOINT iteration (same
-        # argument as nms_kernel.py: the greedy keep-vector is the
-        # unique fixpoint of f(k)[j] = valid[j] ∧ ¬∃i<j: k[i] ∧
-        # iou[i,j] > t, and iterating from k = valid stabilizes the
-        # length-t prefix after t passes) — a handful of vectorized
-        # (B, B) passes instead of an always-B sequential inner loop,
-        # which dominated the rotated-NMS slice of RAPiD@1024.
-        sup_mat = jnp.where((intra > iou_thres) & (col_b > row_col),
-                            1.0, 0.0)                        # [i, j]: i<j
-        eye_b = (col_b == row_col).astype(jnp.float32)       # (B, B)
-
-        def f(kv):  # kv: (B, 1) keep flags as {0,1} over rows
-            sup_j = jnp.max(sup_mat * kv, axis=0, keepdims=True)  # (1, B)
-            sup_rows = jnp.sum(eye_b * sup_j, axis=1, keepdims=True)
-            return bk0 * (1.0 - sup_rows)
-
-        def cond(state):
-            kv, kn = state
-            return jnp.sum(jnp.abs(kn - kv)) > 0.0
-
-        def step(state):
-            _, kn = state
-            return kn, f(kn)
-
-        _, bk = jax.lax.while_loop(cond, step, (bk0, f(bk0)))
+        # intra-block greedy resolve: shared fixpoint helper
+        # (ops/pallas/common.py — one definition for both NMS kernels),
+        # which replaced the always-B sequential inner loop that
+        # dominated the rotated-NMS slice of RAPiD@1024
+        bk = greedy_fixpoint_keep(intra, bk0, iou_thres=iou_thres)
 
         sup_any = jnp.max(
             jnp.where((tile > iou_thres) & (bk > 0.5), 1.0, 0.0),

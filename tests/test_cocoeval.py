@@ -132,3 +132,22 @@ def test_duplicate_detections_are_fps():
     # recall 1.0 at rank 1 with precision 1.0; dup FP after doesn't
     # reduce interpolated precision at any recall level
     assert stats["AP50"] == pytest.approx(1.0)
+
+
+def test_evaluator_rejects_class_count_mismatch(tmp_path):
+    """A model whose num_classes differs from the annotation file's
+    category count fails readably instead of KeyError-ing deep in
+    to_coco (or silently remapping every class)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from mydetection_tpu import Detector
+    from mydetection_tpu.eval.evaluator import evaluate_detector
+
+    det = Detector(model_name="yolov3", input_size=64, num_classes=3,
+                   compute_dtype=jnp.float32, use_pallas=False)
+    gt = {"images": [{"id": 0, "file_name": "x.jpg"}],
+          "categories": [{"id": 1}, {"id": 2}],
+          "annotations": []}
+    with pytest.raises(ValueError, match="3 classes.*2 categories"):
+        evaluate_detector(det, gt, str(tmp_path), verbose=False)
