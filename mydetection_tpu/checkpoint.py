@@ -35,14 +35,33 @@ def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     """
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree:
+            raise ValueError(
+                "flatten_tree: empty dict containers cannot round-trip "
+                f"(at path {prefix!r}) — the flat form has no entry to "
+                "rebuild them from, so a resumed tree would be "
+                "structurally different; drop the empty container or "
+                "use a None leaf")
         for k, v in tree.items():
             if k.startswith("#") or k == "__none__":
                 raise ValueError(
                     f"dict key {k!r} collides with flatten_tree's "
                     "reserved markers ('#…' container indices, "
                     "'__none__' None leaves) — rename the key")
+            if SEP in k:
+                raise ValueError(
+                    f"dict key {k!r} contains the path separator "
+                    f"{SEP!r}: unflatten_tree would split it into "
+                    "nested dicts (silent structure corruption, or an "
+                    "error if the prefix also names a leaf) — rename "
+                    "the key")
             out.update(flatten_tree(v, f"{prefix}{k}{SEP}"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            raise ValueError(
+                "flatten_tree: empty list/tuple containers cannot "
+                f"round-trip (at path {prefix!r}); drop the container "
+                "or use a None leaf")
         tag = "#t" if isinstance(tree, tuple) else "#l"
         for i, v in enumerate(tree):
             out.update(flatten_tree(v, f"{prefix}{tag}{i}{SEP}"))

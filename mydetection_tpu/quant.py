@@ -503,12 +503,38 @@ def save_quantized(path: str, qp, cfg=None) -> None:
                      input_size=cfg.input_size)
     tree = {f: jax.device_get(getattr(qp, f))
             for f in (fd.name for fd in dataclasses.fields(qp))}
+    # the scales dict's keys are '/'-joined paths; nest them explicitly
+    # (the checkpoint layer rejects '/' in dict keys — relying on its
+    # silent split corrupted structure when a key was both a leaf and
+    # a prefix). The flat npz layout is unchanged, so old artifacts
+    # load identically through _reflatten below.
+    tree["scales"] = _nest(tree["scales"])
     ck.save_checkpoint(path, tree, extra=extra)
 
 
+def _nest(flat: dict) -> dict:
+    """'/'-joined flat dict → nested dict (inverse of _reflatten),
+    loud on leaf/subtree key collisions."""
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = out
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(f"scale key {k!r} collides with the "
+                                 f"leaf key {p!r}")
+            node = nxt
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(f"scale key {k!r} collides with an "
+                             "existing subtree of the same name")
+        node[parts[-1]] = v
+    return out
+
+
 def _reflatten(d: dict, prefix: str = "") -> dict:
-    """Nested dict → '/'-joined flat dict (inverse of what the
-    checkpoint layer does to the scales dict's '/'-bearing keys)."""
+    """Nested dict → '/'-joined flat dict (inverse of `_nest`; the
+    scales dict is stored nested in the checkpoint tree)."""
     out = {}
     for k, v in d.items():
         if isinstance(v, dict):

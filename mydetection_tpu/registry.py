@@ -97,6 +97,15 @@ def list_models() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def default_config(name: str) -> ModelConfig:
+    """The registered (pre-override) config for `name` — for callers
+    that need config facts (rotated, family, input_size) BEFORE
+    building the model, e.g. train.py choosing the dataset parser."""
+    if name not in _CONFIGS:
+        raise KeyError(f"unknown model '{name}'; available: {list_models()}")
+    return _CONFIGS[name]
+
+
 def get_model(name: str, **overrides) -> Model:
     """Build a model by name — the reference's `name_to_model` surface.
 
@@ -224,20 +233,8 @@ def _build_yolov3(cfg: ModelConfig) -> Model:
         """images: uint8 or float NHWC. Returns dense (boxes, scores[,
         classes]) — single-label configs pre-reduce the class axis in
         the decode (scores (B, N), classes (B, N))."""
-        x = images
-        if x.dtype == jnp.uint8:
-            x = L.normalize_input(x, cfg.compute_dtype)
-        else:
-            x = x.astype(cfg.compute_dtype)
-        feats, bu = darknet.apply(params["backbone"], x, train=train,
-                                  compute_dtype=cfg.compute_dtype)
-        raw, hu = yolov3.apply(params["head"], feats, train=train,
-                               compute_dtype=cfg.compute_dtype)
-        dense = dense_from_raw(raw, cfg)
-        updates = None
-        if train:
-            updates = {"backbone": bu, "head": hu}
-        return dense, updates
+        raw, updates = forward_raw(params, images, train=train)
+        return dense_from_raw(raw, cfg), updates
 
     def forward_raw(params, images, *, train: bool = False):
         x = images

@@ -58,12 +58,19 @@ def sgd_update(params: Params, grads: Params, velocity: Params, *,
 def burn_in_lr(step, *, base_lr: float, burn_in: int = 1000,
                milestones: tuple[int, ...] = (), gamma: float = 0.1):
     """Darknet burn-in: lr * (step/burn_in)^4 during warmup, then
-    step-decay by `gamma` at each milestone [recalled idiom]."""
-    step_f = jnp.asarray(step, jnp.float32)
-    warm = base_lr * jnp.minimum(step_f / burn_in, 1.0) ** 4
-    decay = jnp.asarray(1.0, jnp.float32)
+    step-decay by `gamma` at each milestone [recalled idiom].
+
+    Pure host Python on purpose: `step` is a host int in the training
+    loop, and the jnp formulation dispatched ~4 tiny device ops PER
+    ITERATION outside the compiled step — on the remote-TPU transport
+    (~30 ms/dispatch) that cost more than the step itself at small
+    batch. Returns a float the jitted step takes as a scalar arg."""
+    step_f = float(step)
+    warm = base_lr * min(step_f / burn_in, 1.0) ** 4
+    decay = 1.0
     for m in milestones:
-        decay = decay * jnp.where(step_f >= m, gamma, 1.0)
+        if step_f >= m:
+            decay *= gamma
     return warm * decay
 
 

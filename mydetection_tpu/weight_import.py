@@ -345,6 +345,21 @@ def import_retinanet_state_dict(params: Params, state: dict) -> Params:
     """
     import copy
 
+    # Fail fast on retinanet_resnet50_fpn_v2 checkpoints: their head
+    # conv blocks are Conv2dNormActivation with a GroupNorm at
+    # `conv.{i}.1` that our (v1-parity, norm-free) RetinaNet head has
+    # no slot for — importing the convs alone would produce
+    # un-normalized garbage activations with no diagnostic.
+    for tv in ("classification_head", "regression_head"):
+        for i in range(4):
+            if f"head.{tv}.conv.{i}.1.weight" in state:
+                raise ValueError(
+                    "retinanet_resnet50_fpn_v2 checkpoint detected "
+                    f"(GroupNorm key head.{tv}.conv.{i}.1.weight): the "
+                    "v2 head uses GN towers our v1-parity RetinaNet "
+                    "head does not model — import a v1 "
+                    "retinanet_resnet50_fpn checkpoint instead")
+
     out = copy.deepcopy(jax_to_numpy(params))
     out["backbone"] = import_resnet_state_dict(
         out["backbone"], _strip_prefix(state, "backbone.body."))
@@ -353,9 +368,9 @@ def import_retinanet_state_dict(params: Params, state: dict) -> Params:
                     ("box", "regression_head")):
         sub = out["head"][our]
         for i in range(4):
-            # the `.0.weight` spelling is torchvision v2's
-            # Conv2dNormActivation (bias=False under the norm); the
-            # `.{2i}.weight` spelling is the classic biased conv
+            # `.0.weight` is a norm-free Conv2dNormActivation spelling;
+            # `.{2i}.weight` the classic biased conv (v2's GN layout is
+            # rejected above)
             _put_conv(sub[f"conv{i}"], state,
                       f"head.{tv}.conv.{i}.0.weight",
                       f"head.{tv}.conv.{2 * i}.weight",

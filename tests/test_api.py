@@ -327,3 +327,45 @@ def test_packed_canvases_rejected_for_resnet_family():
                          pad_x=0, pad_y=0, input_size=128)
     with pytest.raises(ValueError, match="darknet-backbone"):
         det.detect_prepared(packed, [info])
+
+
+def test_checkpoint_separator_and_empty_container_guards():
+    """'/'-bearing dict keys and empty containers cannot round-trip
+    through the flat npz form — rejected loudly instead of silently
+    corrupting the resumed tree structure."""
+    from mydetection_tpu.checkpoint import flatten_tree
+
+    with pytest.raises(ValueError, match="separator"):
+        flatten_tree({"a/b": np.ones(2, np.float32)})
+    with pytest.raises(ValueError, match="empty dict"):
+        flatten_tree({"a": {}, "b": np.ones(1, np.float32)})
+    with pytest.raises(ValueError, match="empty list"):
+        flatten_tree({"a": [], "b": np.ones(1, np.float32)})
+
+
+def test_quant_scales_nest_roundtrip():
+    """The quant artifact's '/'-joined scale keys nest/reflatten
+    losslessly, and collisions fail loudly."""
+    from mydetection_tpu.quant import _nest, _reflatten
+
+    flat = {"stem": np.float32(1.0), "s0/b0/conv1": np.float32(2.0),
+            "s0/b0/conv2": np.float32(3.0), "head/out": np.float32(4.0)}
+    assert _reflatten(_nest(flat)) == flat
+    with pytest.raises(ValueError, match="collides"):
+        _nest({"a": np.float32(1.0), "a/b": np.float32(2.0)})
+
+
+def test_burn_in_lr_is_host_float():
+    """burn_in_lr returns a plain Python float (no per-iteration device
+    dispatches outside the compiled step) and keeps the darknet
+    schedule semantics."""
+    from mydetection_tpu.training import burn_in_lr
+
+    lr = burn_in_lr(6, base_lr=1e-2, burn_in=12, milestones=(100, 200))
+    assert isinstance(lr, float)
+    assert lr == pytest.approx(1e-2 * 0.5 ** 4)
+    assert burn_in_lr(50, base_lr=1e-2, burn_in=12) == pytest.approx(1e-2)
+    assert burn_in_lr(150, base_lr=1e-2, burn_in=12,
+                      milestones=(100, 200)) == pytest.approx(1e-3)
+    assert burn_in_lr(250, base_lr=1e-2, burn_in=12,
+                      milestones=(100, 200)) == pytest.approx(1e-4)

@@ -324,3 +324,16 @@ def test_darknet_backbone_only_roundtrip(tmp_path):
     save_darknet_weights(src, full)
     with pytest.raises(ValueError, match="length mismatch"):
         load_darknet_backbone_weights(fresh, full)
+
+
+def test_retinanet_v2_checkpoint_rejected():
+    """torchvision retinanet v2 (GN-tower) state dicts fail loudly —
+    importing the convs while dropping the GroupNorms would produce
+    garbage activations with no diagnostic."""
+    from mydetection_tpu.weight_import import import_retinanet_state_dict
+
+    # the guard fires before any backbone work, so no params are needed
+    state = {"head.classification_head.conv.0.0.weight": np.zeros((256, 256, 3, 3), np.float32),
+             "head.classification_head.conv.0.1.weight": np.ones(256, np.float32)}
+    with pytest.raises(ValueError, match="v2"):
+        import_retinanet_state_dict({}, state)

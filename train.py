@@ -79,7 +79,10 @@ def main() -> None:
     from mydetection_tpu.registry import fast_init, get_model
     from mydetection_tpu.training import burn_in_lr, make_train_step, sgd_init
 
-    rotated = args.model == "rapid"
+    from mydetection_tpu.registry import default_config
+    # the registered config, not the literal name: any rotated
+    # registration (not just 'rapid' exactly) gets the rotated parser
+    rotated = default_config(args.model).rotated
     ds = CocoDataset(args.ann, args.img_dir, rotated=rotated, skip_empty=True)
     overrides = {}
     if args.float32:
@@ -140,6 +143,7 @@ def main() -> None:
         tb = TBWriter(args.tensorboard_dir)
 
     it = start_iter
+    val_det = None
     t_log = time.perf_counter()
     for images, gt_boxes, gt_classes, gt_valid, size in loader:
         if it >= args.iterations:
@@ -181,9 +185,18 @@ def main() -> None:
 
         if args.val_every and it % args.val_every == 0 and args.val_ann:
             from mydetection_tpu.api import Detector
-            det = Detector(model_name=args.model,
-                           params=jax.device_get(params),
-                           num_classes=cfg.num_classes, **overrides)
+            # build the val Detector ONCE and swap params in: a fresh
+            # Detector per interval starts with an empty jit cache and
+            # recompiles the detect pipeline (~17 s+) every val run
+            # under a mesh the live params carry replicated shardings;
+            # hand the (mesh-less) val Detector host copies instead
+            val_params = params if mesh is None else jax.device_get(params)
+            if val_det is None:
+                val_det = Detector(model_name=args.model, params=val_params,
+                                   num_classes=cfg.num_classes, **overrides)
+            else:
+                val_det.params = val_params
+            det = val_det
             if rotated:
                 # rotated models score with rotated-IoU matching
                 # (SURVEY.md §2.14 fisheye evaluator), not enclosing-box
