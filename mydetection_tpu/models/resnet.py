@@ -93,6 +93,57 @@ def _stem_s2d(stem: Params, x: jnp.ndarray, *, compute_dtype) -> jnp.ndarray:
     return _maxpool_s2d_exit(y, stem["conv"]["w"].shape[-1])
 
 
+def _stem_s2d_standardize_folded(stem: Params, x_raw: jnp.ndarray, *,
+                                 compute_dtype) -> jnp.ndarray:
+    """S2D stem with the `/255` + ImageNet standardize folded in: ONE
+    9×9-stride-4 phase-folded conv on the RAW uint8-cast batch + BN +
+    ReLU + channel-sliced maxpool exit. Combines `_stem_s2d` (the
+    (H/2, W/2, 64) intermediate never round-trips HBM before the pool)
+    with `_stem_standardize_folded` (no C=3-minor elementwise pass).
+
+    Exact, including borders, by the same argument as the 7×7 fold:
+    XLA zero-pads the RAW input where the standard path zero-pads the
+    STANDARDIZED tensor, and the difference is a per-tap constant. For
+    pad (3, 2) / stride 4 / H,W divisible by 4, only the FIRST output
+    row/col (window positions 0..2 out of bounds) and the LAST
+    (positions 7..8 out of bounds) need closed-form corrections.
+    Pinned exact in tests/test_retinanet.py.
+
+    NEGATIVE RESULT (v5e, benchmarks/resnet_stem_s2d_experiments):
+    6.43 ms/batch-32 @608 vs 4.47 ms for the shipped folded 7×7 stem —
+    the 9×9-s4 conv from a 3-channel input runs even colder on the MXU
+    than the 7×7 it replaces, and avoiding the (304,304,64) HBM
+    round-trip doesn't make that back. Not wired into apply(); kept as
+    a pinned exact rewrite for future hardware where the fold wins.
+    """
+    from mydetection_tpu.models.darknet import _tile_bn
+
+    w9 = _phase_fold_stem7_weight(stem["conv"]["w"])        # (9,9,3,4C)
+    std = jnp.asarray(IMAGENET_STD, w9.dtype)
+    inv = jnp.asarray(IMAGENET_MEAN, w9.dtype) / std        # μ/σ (3,)
+    wf = w9 / (255.0 * std[:, None])
+    tap = jnp.einsum("hwic,i->hwc", w9, inv)                # (9,9,4C)
+    y = conv2d(x_raw, wf, stride=4, padding=[(3, 2), (3, 2)],
+               compute_dtype=compute_dtype)
+    # conv_std = conv_raw − Σ_all tap + Σ_OOB tap
+    y = y - jnp.sum(tap, axis=(0, 1)).astype(y.dtype)
+    edges = {0: (0, 3), -1: (7, 9)}  # output index → OOB window positions
+    for i, (ra, rb) in edges.items():
+        y = y.at[:, i, :, :].add(
+            jnp.sum(tap[ra:rb], axis=(0, 1)).astype(y.dtype))
+    for j, (ca, cb) in edges.items():
+        y = y.at[:, :, j, :].add(
+            jnp.sum(tap[:, ca:cb], axis=(0, 1)).astype(y.dtype))
+    # corners were double-counted by the row and col strips
+    for i, (ra, rb) in edges.items():
+        for j, (ca, cb) in edges.items():
+            y = y.at[:, i, j, :].add(
+                -jnp.sum(tap[ra:rb, ca:cb], axis=(0, 1)).astype(y.dtype))
+    y, _ = batch_norm(y, _tile_bn(stem["bn"]), train=False)
+    y = jnp.maximum(y, 0.0)
+    return _maxpool_s2d_exit(y, stem["conv"]["w"].shape[-1])
+
+
 def prepare_input(x: jnp.ndarray, *, compute_dtype,
                   train: bool = False) -> tuple[jnp.ndarray, bool]:
     """THE ResNet-family input policy — one definition shared by the

@@ -150,6 +150,36 @@ def test_resnet_stem_standardize_fold_exact():
         resnet.apply(params, xr, stem_fold_std=True, train=True)
 
 
+def test_resnet_stem_s2d_standardize_fold_exact():
+    """_stem_s2d_standardize_folded (9×9-s4 phase-folded conv on the
+    RAW batch with /255+standardize folded in, closed-form border
+    corrections, S2D maxpool exit) must equal the standard
+    normalize→standardize→7×7conv→BN→ReLU→3×3maxpool stem exactly.
+    Measured SLOWER than the shipped folded stem on v5e (6.43 vs
+    4.47 ms/batch-32 @608, benchmarks/resnet_stem_s2d_experiments) —
+    kept as a pinned exact rewrite, not a production path."""
+    from mydetection_tpu.models import layers as L
+    from mydetection_tpu.models import resnet
+
+    params = resnet.init(jax.random.PRNGKey(5), depth=50)
+    imgs = np.random.RandomState(7).randint(0, 255, (2, 64, 64, 3),
+                                            np.uint8)
+    xf = L.standardize_imagenet(L.normalize_input(jnp.asarray(imgs)))
+
+    def std_stem(p, v):
+        y, _ = resnet._conv_bn(p["stem"], v, stride=2, train=False,
+                               compute_dtype=jnp.float32)
+        return L.max_pool(jnp.maximum(y, 0.0), 3, 2)
+
+    ref = jax.jit(std_stem)(params, xf)
+    xr = jnp.asarray(imgs).astype(jnp.float32)
+    got = jax.jit(lambda p, v: resnet._stem_s2d_standardize_folded(
+        p["stem"], v, compute_dtype=jnp.float32))(params, xr)
+    r, g = np.asarray(ref), np.asarray(got)
+    scale = np.abs(r).max() + 1e-8
+    np.testing.assert_allclose(g / scale, r / scale, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_end_to_end_forward_shapes():
     model = get_model("retinanet", input_size=128, compute_dtype=jnp.float32)
