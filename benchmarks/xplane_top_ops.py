@@ -28,7 +28,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
 
-def capture(mode: str, batch: int, size: int, steps: int) -> str:
+def capture(mode: str, batch: int, size: int, steps: int,
+            model_name: str = "yolov3") -> str:
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +39,7 @@ def capture(mode: str, batch: int, size: int, steps: int) -> str:
 
     dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
              else jnp.float32)
-    model = get_model("yolov3", input_size=size, compute_dtype=dtype)
+    model = get_model(model_name, input_size=size, compute_dtype=dtype)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randint(0, 255, (batch, size, size, 3),
@@ -130,9 +131,11 @@ def main() -> None:
     ap.add_argument("--input-size", type=int, default=416)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--model", default="yolov3")
     args = ap.parse_args()
 
-    logdir = capture(args.mode, args.batch, args.input_size, args.steps)
+    logdir = capture(args.mode, args.batch, args.input_size, args.steps,
+                     model_name=args.model)
     per_op, per_cat, planes = parse(logdir, args.steps, args.top)
     print("device planes:", planes)
     tot = sum(per_cat.values())
@@ -146,6 +149,7 @@ def main() -> None:
     for name, us in rows:
         print(f"  {us / args.steps / 1000:8.3f}  {name[:100]}")
     summary = {
+        "model": args.model,
         "mode": args.mode, "batch": args.batch,
         "input_size": args.input_size,
         "total_ms_per_step": round(tot / args.steps / 1000, 3),
