@@ -101,6 +101,7 @@ def main() -> None:
                 d["boxes"], d.get("scores"), classes=d.get("classes"),
                 score_logits=d.get("score_logits"),
                 score_mul=d.get("score_mul"),
+                gate_logits=d.get("score_gate"),
                 conf_thres=0.3, iou_thres=0.45, pre_nms=cfg.pre_nms,
                 max_dets=cfg.max_dets, use_pallas=on_tpu,
                 multi_label=cfg.multi_label,

@@ -340,6 +340,7 @@ class Detector:
                 d["boxes"], d.get("scores"), classes=d.get("classes"),
                 score_logits=d.get("score_logits"),
                 score_mul=d.get("score_mul"),
+                gate_logits=d.get("score_gate"),
                 conf_thres=conf_thres, iou_thres=nms_iou,
                 pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
                 use_pallas=use_pallas, multi_label=cfg.multi_label,

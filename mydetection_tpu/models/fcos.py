@@ -120,8 +120,14 @@ def _head_conv(p: Params, x, *, compute_dtype):
 
 def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
           num_classes: int = 80, compute_dtype=None,
-          ltrb_decode: str = "exp"):
-    """[P3..P7] → (cls (B,N,C), ltrb (B,N,4) px, ctr (B,N)), f32.
+          ltrb_decode: str = "exp", with_gate: bool = False):
+    """[P3..P7] → (cls (B,N,C), ltrb (B,N,4) px, ctr (B,N)
+    [, gate (B,N) native dtype when with_gate]), f32.
+
+    with_gate: also return each location's max-over-classes logit,
+    computed per level so the postprocess never reduces (and XLA never
+    relayouts) the concatenated dense logits — see
+    models/retinanet.apply, same rationale, bit-exact.
 
     ltrb is already decoded to pixel distances. Two conventions exist:
       * "exp"    — the FCOS PAPER (and the reference's idiom): exp(s_l ·
@@ -137,7 +143,7 @@ def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
     if ltrb_decode not in ("exp", "linear"):
         raise ValueError(f"ltrb_decode must be 'exp' or 'linear', got "
                          f"{ltrb_decode!r}")
-    cls_f, box_f, ctr_f = [], [], []
+    cls_f, box_f, ctr_f, gate_f = [], [], [], []
     for li, feat in enumerate(pyramid):
         b, h, w, _ = feat.shape
         ct = _tower(params["cls_tower"], feat, compute_dtype=compute_dtype)
@@ -155,11 +161,17 @@ def apply(params: Params, pyramid: Sequence[jnp.ndarray], *,
         # cls logits stay in the conv compute dtype (bf16 on TPU): the
         # postprocess consumes logits directly (score_logits path),
         # deferring the f32 sigmoid past top-k selection
-        cls_f.append(cls.reshape(b, h * w, num_classes))
+        cls = cls.reshape(b, h * w, num_classes)
+        cls_f.append(cls)
+        if with_gate:
+            gate_f.append(jnp.max(cls, axis=-1))
         box_f.append(ltrb.reshape(b, h * w, 4))
         ctr_f.append(ctr.astype(jnp.float32).reshape(b, h * w))
-    return (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1),
-            jnp.concatenate(ctr_f, 1))
+    out = (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1),
+           jnp.concatenate(ctr_f, 1))
+    if with_gate:
+        return out + (jnp.concatenate(gate_f, 1),)
+    return out
 
 
 def decode_boxes(ltrb, locations) -> jnp.ndarray:

@@ -235,19 +235,27 @@ def _region(be, qb: Params, qf: Params, qh: Params, y, *, cfg):
 
     if cfg.family == "retinanet":
         nc = cfg.num_classes
-        cls_f, box_f = [], []
+        # per-level max-over-classes gate, same as the float head's
+        # with_gate path (skips the dense N-minor relayout on TPU)
+        cls_f, box_f, gate_f = [], [], []
         for li, q in enumerate(levels):
             cl = be.out(qh["cls"]["out"], tower("cls", li, q))
             bx = be.out(qh["box"]["out"], tower("box", li, q))
             b, h, w, _ = cl.shape
             a = retinanet_mod.NUM_ANCHORS
-            cls_f.append(cl.reshape(b, h * w * a, nc))
+            cl = cl.reshape(b, h * w * a, nc)
+            cls_f.append(cl)
+            if cfg.multi_label:
+                gate_f.append(jnp.max(cl, axis=-1))
             box_f.append(bx.astype(jnp.float32).reshape(b, h * w * a, 4))
-        return jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1)
+        out = (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1))
+        if cfg.multi_label:
+            out = out + (jnp.concatenate(gate_f, 1),)
+        return out
 
     # fcos (mirrors fcos.apply incl. the ltrb decode conventions)
     nc = cfg.num_classes
-    cls_f, box_f, ctr_f = [], [], []
+    cls_f, box_f, ctr_f, gate_f = [], [], [], []
     for li, q in enumerate(levels):
         ct = tower("cls_tower", li, q)
         bt = tower("box_tower", li, q)
@@ -262,11 +270,17 @@ def _region(be, qb: Params, qf: Params, qh: Params, y, *, cfg):
             ltrb = _relu(raw_box.astype(jnp.float32))
         ltrb = ltrb * float(fcos_mod.STRIDES[li])
         b, h, w, _ = cl.shape
-        cls_f.append(cl.reshape(b, h * w, nc))
+        cl = cl.reshape(b, h * w, nc)
+        cls_f.append(cl)
+        if cfg.multi_label:
+            gate_f.append(jnp.max(cl, axis=-1))
         box_f.append(ltrb.reshape(b, h * w, 4))
         ctr_f.append(ctr.astype(jnp.float32).reshape(b, h * w))
-    return (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1),
-            jnp.concatenate(ctr_f, 1))
+    out = (jnp.concatenate(cls_f, 1), jnp.concatenate(box_f, 1),
+           jnp.concatenate(ctr_f, 1))
+    if cfg.multi_label:
+        out = out + (jnp.concatenate(gate_f, 1),)
+    return out
 
 
 # ---------------------------------------------------------------------------

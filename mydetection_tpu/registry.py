@@ -191,19 +191,30 @@ def dense_from_raw(raw, cfg: ModelConfig, input_size: int | None = None) -> dict
 
     if cfg.family == "retinanet":
         from mydetection_tpu.models import retinanet
-        cls_logits, box_deltas = raw
+        # raw may carry the optional head-computed per-box gate (the
+        # max-over-classes logit, reduced per level before the concat
+        # — retinanet.apply(with_gate=True)); the postprocess then
+        # skips its own dense reduce and XLA never relayouts the
+        # (B, N, C) logits tensor to N-minor.
+        cls_logits, box_deltas = raw[:2]
         anchors = retinanet.generate_anchors(input_size)
-        return {"boxes": retinanet.decode_boxes(box_deltas, anchors),
-                "score_logits": cls_logits}
+        out = {"boxes": retinanet.decode_boxes(box_deltas, anchors),
+               "score_logits": cls_logits}
+        if len(raw) > 2:
+            out["score_gate"] = raw[2]
+        return out
     if cfg.family == "fcos":
         from mydetection_tpu.models import fcos
-        cls_logits, ltrb, ctr = raw
+        cls_logits, ltrb, ctr = raw[:3]
         locations, _ = fcos.generate_locations(input_size)
         # ranking score sigmoid(cls)·sigmoid(ctr) is assembled after
         # top-k in the postprocess (score_logits + score_mul)
-        return {"boxes": fcos.decode_boxes(ltrb, locations),
-                "score_logits": cls_logits,
-                "score_mul": jax.nn.sigmoid(ctr)}
+        out = {"boxes": fcos.decode_boxes(ltrb, locations),
+               "score_logits": cls_logits,
+               "score_mul": jax.nn.sigmoid(ctr)}
+        if len(raw) > 3:
+            out["score_gate"] = raw[3]
+        return out
     if cfg.family == "rapid":
         from mydetection_tpu.models import rapid
         anchors = cfg.anchors if cfg.anchors is not None else rapid.ANCHORS
@@ -295,17 +306,19 @@ def _build_retinanet(depth: int):
                                      train=train, compute_dtype=cfg.compute_dtype,
                                      stem_fold_std=fold)
             pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)
-            cls_logits, box_deltas = retinanet.apply(
+            # inference also gets the per-level max-over-classes gate
+            # (multi-label postprocess stage 1) fused into the head
+            head = retinanet.apply(
                 params["head"], pyr, num_classes=nc,
-                compute_dtype=cfg.compute_dtype)
-            return cls_logits, box_deltas, ({"backbone": bu} if train else None)
+                compute_dtype=cfg.compute_dtype,
+                with_gate=not train and cfg.multi_label)
+            return head + (({"backbone": bu} if train else None),)
 
         def forward_dense(params, images, *, train: bool = False):
-            cls_logits, box_deltas, updates = forward_raw(params, images,
-                                                          train=train)
+            *raw, updates = forward_raw(params, images, train=train)
             # logits stay dense/native; sigmoid happens after top-k in
             # the postprocess (ops/nms score_logits path)
-            dense = dense_from_raw((cls_logits, box_deltas), cfg,
+            dense = dense_from_raw(tuple(raw), cfg,
                                    input_size=images.shape[1])
             return dense, updates
 
@@ -403,15 +416,16 @@ def _build_fcos(cfg: ModelConfig) -> Model:
                                  train=train, compute_dtype=cfg.compute_dtype,
                                  stem_fold_std=fold)
         pyr = fpn.apply(params["fpn"], feats, compute_dtype=cfg.compute_dtype)
-        cls_logits, ltrb, ctr = fcos.apply(params["head"], pyr, num_classes=nc,
-                                           compute_dtype=cfg.compute_dtype,
-                                           ltrb_decode=cfg.ltrb_decode)
-        return cls_logits, ltrb, ctr, ({"backbone": bu} if train else None)
+        head = fcos.apply(params["head"], pyr, num_classes=nc,
+                          compute_dtype=cfg.compute_dtype,
+                          ltrb_decode=cfg.ltrb_decode,
+                          with_gate=not train and cfg.multi_label)
+        return head + (({"backbone": bu} if train else None),)
 
     def forward_dense(params, images, *, train: bool = False):
-        cls_logits, ltrb, ctr, updates = forward_raw(params, images, train=train)
+        *raw, updates = forward_raw(params, images, train=train)
         # cls logits stay dense/native; scoring assembled post-top-k
-        dense = dense_from_raw((cls_logits, ltrb, ctr), cfg,
+        dense = dense_from_raw(tuple(raw), cfg,
                                input_size=images.shape[1])
         return dense, updates
 

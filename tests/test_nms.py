@@ -183,3 +183,55 @@ def test_score_logits_single_label_honors_multi_label_false():
     ml = postprocess(jnp.asarray(boxes), score_logits=jnp.asarray(logits),
                      multi_label=True, **kw)
     assert np.asarray(ml["valid"]).sum() == 3
+
+
+def test_gate_logits_matches_dense_reduce():
+    """postprocess with a head-precomputed gate (per-level max over
+    classes, concatenated — models/retinanet.apply(with_gate=True))
+    must be BIT-identical to the dense in-postprocess reduce: max is
+    associative, so reducing per level then concatenating gives the
+    same values XLA's dense reduce produces."""
+    n, c = 500, 6
+    rng = np.random.RandomState(11)
+    boxes = rng.uniform(0, 400, (n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 80, (n, 2))
+    logits = rng.randn(n, c).astype(np.float32) * 2.0
+    mul = rng.uniform(0.1, 1.0, (n,)).astype(np.float32)
+    # "levels" of uneven sizes, like an FPN pyramid
+    splits = np.cumsum([0, 311, 97, 52, 25, 15])
+    gate = np.concatenate([logits[a:b].max(axis=1)
+                           for a, b in zip(splits[:-1], splits[1:])])
+    kw = dict(conf_thres=0.05, iou_thres=0.5, pre_nms=256, max_dets=20)
+    for score_mul in (None, jnp.asarray(mul)):
+        ref = postprocess(jnp.asarray(boxes),
+                          score_logits=jnp.asarray(logits),
+                          score_mul=score_mul, **kw)
+        got = postprocess(jnp.asarray(boxes),
+                          score_logits=jnp.asarray(logits),
+                          score_mul=score_mul,
+                          gate_logits=jnp.asarray(gate), **kw)
+        for k in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(got[k]))
+
+
+def test_forward_dense_score_gate_matches_dense_max():
+    """The retinanet/fcos forward_dense score_gate entry equals the
+    max over the dense score_logits (per-level reduce + concat ==
+    global reduce)."""
+    import jax
+
+    from mydetection_tpu.registry import get_model
+
+    for name in ("retinanet", "fcos"):
+        model = get_model(name, input_size=64, num_classes=5,
+                          compute_dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(3))
+        imgs = jnp.asarray(np.random.RandomState(4).randint(
+            0, 255, (1, 64, 64, 3), np.uint8))
+        dense, _ = jax.jit(lambda p, x: model.forward_dense(p, x))(
+            params, imgs)
+        assert "score_gate" in dense, name
+        np.testing.assert_array_equal(
+            np.asarray(dense["score_gate"]),
+            np.asarray(jnp.max(dense["score_logits"], axis=-1)))
