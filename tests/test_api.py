@@ -369,3 +369,31 @@ def test_burn_in_lr_is_host_float():
                       milestones=(100, 200)) == pytest.approx(1e-3)
     assert burn_in_lr(250, base_lr=1e-2, burn_in=12,
                       milestones=(100, 200)) == pytest.approx(1e-4)
+
+
+def test_detect_one_invariants_across_shapes_and_thresholds(detector):
+    """Public-API property sweep: for adversarial image shapes (1-px
+    strips, tiny squares, extreme aspect ratios) and threshold
+    extremes, detect_one must uphold its contract — scores descending
+    and >= conf_thres, boxes clipped to the ORIGINAL image bounds with
+    x2>=x1/y2>=y1, classes in range, visualized/boxes dtypes stable."""
+    rng = np.random.RandomState(3)
+    shapes = [(1, 1), (1, 200), (200, 1), (7, 5), (31, 700), (700, 31)]
+    for (h, w) in shapes:
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        for ct in (0.0, 0.5, 0.999):
+            d = detector.detect_one(np_img=img, conf_thres=ct)
+            assert d.boxes_xyxy.shape == (len(d), 4)
+            assert d.scores.shape == (len(d),)
+            assert d.classes.shape == (len(d),)
+            if len(d):
+                assert (np.diff(d.scores) <= 1e-6).all(), (h, w, ct)
+                assert (d.scores >= ct - 1e-6).all(), (h, w, ct)
+                b = d.boxes_xyxy
+                assert (b[:, 0] >= -1e-3).all() and (b[:, 1] >= -1e-3).all()
+                assert (b[:, 2] <= w + 1e-3).all(), (h, w, ct)
+                assert (b[:, 3] <= h + 1e-3).all(), (h, w, ct)
+                assert (b[:, 2] >= b[:, 0] - 1e-3).all()
+                assert (b[:, 3] >= b[:, 1] - 1e-3).all()
+                assert (d.classes >= 0).all()
+                assert (d.classes < detector.cfg.num_classes).all()
