@@ -27,6 +27,25 @@ def test_registry_surface():
         get_model("nope")
 
 
+def test_every_registered_model_builds_and_runs():
+    """EVERY registry name — including the size/depth variants
+    (yolov3_608, retinanet_r101) that no other test touches directly —
+    must init and produce a sane dense forward at a tiny input size."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3), np.uint8))
+    for name in list_models():
+        model = get_model(name, input_size=64, compute_dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0))
+        dense, updates = model.forward_dense(params, x)
+        assert updates is None  # inference mode
+        assert dense["boxes"].shape[0] == 1, name
+        n = dense["boxes"].shape[1]
+        assert n > 0, name
+        for k, v in dense.items():
+            assert np.isfinite(np.asarray(v, np.float32)).all(), (name, k)
+            assert v.shape[1] == n, (name, k, v.shape)
+
+
 def test_detect_one_returns_detections(detector):
     img = Image.fromarray(np.random.RandomState(0)
                           .randint(0, 255, (240, 320, 3), np.uint8))
