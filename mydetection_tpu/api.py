@@ -108,6 +108,74 @@ def _load_image(img_path=None, pil_img=None, np_img=None) -> Image.Image:
     raise ValueError("provide one of img_path / pil_img / np_img")
 
 
+def strip_detections(out: dict, i: int, info: LetterboxInfo, *,
+                     rotated: bool) -> Detections:
+    """Strip padded device output row `i` to a host `Detections` in
+    ORIGINAL image pixel coords (shared with `export.ExportedDetector`)."""
+    valid = out["valid"][i]
+    scores = out["scores"][i][valid].astype(np.float32)
+    classes = out["classes"][i][valid].astype(np.int32)
+    boxes = out["boxes"][i][valid].astype(np.float32)
+    if rotated:
+        rot = detections_to_original(boxes, info)
+        from mydetection_tpu.ops.rotated import box_corners  # local to avoid cycle
+        corners = np.asarray(box_corners(jnp.asarray(rot)))
+        if len(rot):
+            x1y1 = corners.min(axis=1)
+            x2y2 = corners.max(axis=1)
+            xyxy = np.concatenate([x1y1, x2y2], axis=1)
+        else:
+            xyxy = np.zeros((0, 4), np.float32)
+        return Detections(boxes_xyxy=xyxy, scores=scores, classes=classes,
+                          boxes_rot=rot)
+    # axis-aligned models emit cxcywh from decode; postprocess keeps xyxy
+    xyxy = boxes_xyxy_to_original(boxes, info)
+    return Detections(boxes_xyxy=xyxy, scores=scores, classes=classes)
+
+
+def make_post_one(cfg, use_pallas: bool):
+    """Per-image dense→detections postprocess for a model config.
+
+    Shared by `Detector._pipeline` and `export.export_detector` so the
+    AOT-exported artifact runs the exact same graph as live serving.
+    """
+
+    def post_one(d: dict, conf_thres, nms_iou):
+        """d: per-image dense dict (boxes + scores | score_logits)."""
+        if cfg.rotated:
+            return rotated_postprocess_impl(
+                d["boxes"], d["scores"], conf_thres=conf_thres,
+                iou_thres=nms_iou, pre_nms=cfg.pre_nms,
+                max_dets=cfg.max_dets, use_pallas=use_pallas,
+                approx_topk=cfg.approx_topk)
+        return postprocess_impl(
+            d["boxes"], d.get("scores"), classes=d.get("classes"),
+            score_logits=d.get("score_logits"),
+            score_mul=d.get("score_mul"),
+            gate_logits=d.get("score_gate"),
+            conf_thres=conf_thres, iou_thres=nms_iou,
+            pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
+            use_pallas=use_pallas, multi_label=cfg.multi_label,
+            approx_topk=cfg.approx_topk)
+
+    return post_one
+
+
+def _make_forward_dense(det: "Detector"):
+    """The dense forward for a Detector — float params or the int8
+    serving path, whichever the instance was built with."""
+    if det._q is not None:
+        from mydetection_tpu import quant
+
+        cfg = det.cfg
+
+        def forward_dense(p, images):
+            return quant.forward_dense_quantized(p, images, cfg), None
+
+        return forward_dense
+    return det.model.forward_dense
+
+
 class Detector:
     """Build a detector by name and run inference — the reference's API.
 
@@ -320,31 +388,8 @@ class Detector:
         if key in self._jitted:
             return self._jitted[key]
         model, cfg, use_pallas = self.model, self.cfg, self.use_pallas
-        if self._q is not None:
-            from mydetection_tpu import quant
-
-            def forward_dense(p, images):
-                return quant.forward_dense_quantized(p, images, cfg), None
-        else:
-            forward_dense = model.forward_dense
-
-        def post_one(d: dict, conf_thres, nms_iou):
-            """d: per-image dense dict (boxes + scores | score_logits)."""
-            if cfg.rotated:
-                return rotated_postprocess_impl(
-                    d["boxes"], d["scores"], conf_thres=conf_thres,
-                    iou_thres=nms_iou, pre_nms=cfg.pre_nms,
-                    max_dets=cfg.max_dets, use_pallas=use_pallas,
-                    approx_topk=cfg.approx_topk)
-            return postprocess_impl(
-                d["boxes"], d.get("scores"), classes=d.get("classes"),
-                score_logits=d.get("score_logits"),
-                score_mul=d.get("score_mul"),
-                gate_logits=d.get("score_gate"),
-                conf_thres=conf_thres, iou_thres=nms_iou,
-                pre_nms=cfg.pre_nms, max_dets=cfg.max_dets,
-                use_pallas=use_pallas, multi_label=cfg.multi_label,
-                approx_topk=cfg.approx_topk)
+        forward_dense = _make_forward_dense(self)
+        post_one = make_post_one(cfg, use_pallas)
 
         if use_pallas:
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
@@ -378,25 +423,7 @@ class Detector:
         return jax.device_get(out)
 
     def _strip(self, out: dict, i: int, info: LetterboxInfo) -> Detections:
-        valid = out["valid"][i]
-        scores = out["scores"][i][valid].astype(np.float32)
-        classes = out["classes"][i][valid].astype(np.int32)
-        boxes = out["boxes"][i][valid].astype(np.float32)
-        if self.cfg.rotated:
-            rot = detections_to_original(boxes, info)
-            from mydetection_tpu.ops.rotated import box_corners  # local to avoid cycle
-            corners = np.asarray(box_corners(jnp.asarray(rot)))
-            if len(rot):
-                x1y1 = corners.min(axis=1)
-                x2y2 = corners.max(axis=1)
-                xyxy = np.concatenate([x1y1, x2y2], axis=1)
-            else:
-                xyxy = np.zeros((0, 4), np.float32)
-            return Detections(boxes_xyxy=xyxy, scores=scores, classes=classes,
-                              boxes_rot=rot)
-        # axis-aligned models emit cxcywh from decode; postprocess keeps xyxy
-        xyxy = boxes_xyxy_to_original(boxes, info)
-        return Detections(boxes_xyxy=xyxy, scores=scores, classes=classes)
+        return strip_detections(out, i, info, rotated=self.cfg.rotated)
 
     # -- public surface ----------------------------------------------------
 

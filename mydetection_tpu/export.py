@@ -1,0 +1,235 @@
+"""AOT export: serialize the compiled detect pipeline to one artifact.
+
+The reference ships inference as code + a checkpoint — serving always
+re-runs model-building Python (myDetection api.py [recalled; SURVEY.md
+§2.1/§3.1]). On TPU the natural production artifact is the *compiled
+function itself*: `jax.export` serializes the jitted detect pipeline
+(normalize → backbone → heads → decode → top-k → NMS) as portable
+StableHLO plus the parameter pytree, and a serving process reloads it
+WITHOUT this package's model code — only the thin host pre/post
+(letterbox, inverse mapping) runs in Python.
+
+What the artifact pins:
+  - the full device graph at a fixed (batch_size, input_size) bucket,
+    float or int8-quantized, exactly as `Detector` would run it
+    (same `make_post_one` postprocess — bitwise-identical outputs);
+  - the weights (float params or the calibrated int8 tree);
+  - `nms_iou` (static under jit, so baked at export time) and the
+    default `conf_thres` (a traced scalar — overridable per call).
+
+Portability: StableHLO carries jax.export's compatibility guarantees
+(backward ≥ 6 months) for everything EXCEPT custom calls. The TPU
+pipeline uses two: the Pallas NMS kernel (`tpu_custom_call`) and the
+approx-top-k PartialReduce. Exporting with those requires explicitly
+waiving the stability check per target (recorded in the artifact's
+metadata); such artifacts should be served on a matching jaxlib/libtpu.
+A CPU export of the oracle-NMS pipeline contains no custom calls and
+is fully covered by the guarantees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mydetection_tpu.checkpoint import SEP, flatten_tree, unflatten_tree
+
+_FORMAT = "mydetection-tpu-export"
+_VERSION = 1
+# Custom-call targets this pipeline can legitimately emit on TPU.
+# Anything else failing the stability check is a real error.
+_KNOWN_CUSTOM_CALLS = ("tpu_custom_call", "ApproxTopK", "PartialReduce",
+                       "Sharding", "annotate_device_placement")
+
+
+def _export_fn(det, input_size: int):
+    """One traceable fn(params, images_u8, conf_thres) → padded dets.
+
+    Mirrors `Detector._pipeline`'s fused TPU graph (the CPU split there
+    is only a compile-time dodge; the math is identical).
+    """
+    from mydetection_tpu.api import _make_forward_dense, make_post_one
+
+    cfg = det.cfg
+    forward_dense = _make_forward_dense(det)
+    post_one = make_post_one(cfg, det.use_pallas)
+    nms_iou = float(cfg.nms_iou)
+
+    def fn(params, images_u8, conf_thres):
+        dense, _ = forward_dense(params, images_u8)
+        return jax.vmap(lambda d: post_one(d, conf_thres, nms_iou))(dense)
+
+    return fn
+
+
+def export_detector(det, path: str, *, batch_size: int = 1,
+                    input_size: int | None = None,
+                    platforms: Sequence[str] | None = None) -> None:
+    """Serialize `det`'s detect pipeline at one (batch, size) bucket.
+
+    platforms: lowering targets (default: the current backend). Multi-
+    platform export (e.g. ("tpu", "cpu")) requires every op in the
+    graph to lower for all targets — the Pallas-NMS path is TPU-only,
+    so multi-platform exports need a Detector(use_pallas=False).
+    """
+    from mydetection_tpu.registry import check_input_size
+
+    cfg = det.cfg
+    size = int(input_size or cfg.input_size)
+    check_input_size(size)
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    platforms = tuple(str(p) for p in platforms)
+
+    params = det.params if det._q is None else det._q
+    if params is None:
+        raise ValueError("detector has no parameters to export")
+    p_spec = jax.eval_shape(lambda p: p, params)
+    if det._pack_input:
+        img_spec = jax.ShapeDtypeStruct(
+            (batch_size, size // 2, size // 2, 12), jnp.uint8)
+    else:
+        img_spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
+    conf_spec = jax.ShapeDtypeStruct((), jnp.float32)
+
+    fn = jax.jit(_export_fn(det, size))
+    from jax import export as jexport
+
+    waived: list[str] = []
+    try:
+        exp = jexport.export(fn, platforms=platforms)(p_spec, img_spec, conf_spec)
+    except ValueError as e:
+        # Re-run waiving exactly the known TPU custom calls this
+        # pipeline emits (Pallas NMS, approx top-k). An unknown target
+        # in the message stays fatal.
+        msg = str(e)
+        waived = [t for t in _KNOWN_CUSTOM_CALLS if t in msg]
+        if not waived:
+            raise
+        checks = [jexport.DisabledSafetyCheck.custom_call(t) for t in waived]
+        exp = jexport.export(fn, platforms=platforms,
+                             disabled_checks=checks)(p_spec, img_spec, conf_spec)
+
+    meta = {
+        "format": _FORMAT,
+        "version": _VERSION,
+        "model": cfg.name,
+        "input_size": size,
+        "batch_size": int(batch_size),
+        "rotated": bool(cfg.rotated),
+        "class_names": list(cfg.class_names) if cfg.class_names else None,
+        "conf_thres": float(cfg.conf_thres),
+        "nms_iou": float(cfg.nms_iou),
+        "max_dets": int(cfg.max_dets),
+        "quantized": det._q is not None,
+        "pack_input": bool(det._pack_input),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "waived_custom_call_checks": waived,
+    }
+    flat = {f"params{SEP}{k}": np.asarray(v)
+            for k, v in flatten_tree(jax.device_get(params)).items()}
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    flat["__mlir__"] = np.frombuffer(exp.serialize(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+
+
+@dataclasses.dataclass
+class ExportedDetector:
+    """Serve a `export_detector` artifact — no model-building code runs.
+
+    detect_one/detect_batch mirror `Detector`'s host pipeline
+    (letterbox → exported device graph → strip + inverse-letterbox);
+    batches are padded to the exported batch size and chunked.
+    """
+
+    meta: dict
+    params: object
+    _call: callable  # jitted exported.call
+
+    def _run(self, canvases: np.ndarray, conf: float) -> dict:
+        if self.meta["pack_input"]:
+            from mydetection_tpu.utils.image_ops import pack_s2d2
+            canvases = pack_s2d2(np.asarray(canvases))
+        out = self._call(self.params, jnp.asarray(canvases),
+                         jnp.float32(conf))
+        return jax.device_get(out)
+
+    def detect_one(self, *, img_path=None, pil_img=None, np_img=None,
+                   conf_thres: float | None = None):
+        from mydetection_tpu.api import _load_image, strip_detections
+        from mydetection_tpu.utils.image_ops import letterbox_pil
+
+        img = _load_image(img_path, pil_img, np_img)
+        conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
+        canvas, info = letterbox_pil(img, self.meta["input_size"])
+        batch = np.repeat(canvas[None], self.meta["batch_size"], axis=0)
+        out = self._run(batch, conf)
+        return strip_detections(out, 0, info, rotated=self.meta["rotated"])
+
+    def detect_batch(self, images, *, conf_thres: float | None = None) -> list:
+        from mydetection_tpu.api import _load_image, strip_detections
+        from mydetection_tpu.utils.image_ops import letterbox_pil
+        from PIL import Image
+
+        conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
+        size, bsz = self.meta["input_size"], self.meta["batch_size"]
+        canvases, infos = [], []
+        for im in images:
+            pil = _load_image(img_path=im) if isinstance(im, str) else _load_image(
+                pil_img=im if isinstance(im, Image.Image) else None,
+                np_img=im if isinstance(im, np.ndarray) else None)
+            canvas, info = letterbox_pil(pil, size)
+            canvases.append(canvas)
+            infos.append(info)
+        dets = []
+        for start in range(0, len(canvases), bsz):
+            chunk = canvases[start:start + bsz]
+            n = len(chunk)
+            while len(chunk) < bsz:  # pad the tail chunk; rows dropped below
+                chunk = chunk + [chunk[-1]]
+            out = self._run(np.stack(chunk), conf)
+            dets += [strip_detections(out, i, infos[start + i],
+                                      rotated=self.meta["rotated"])
+                     for i in range(n)]
+        return dets
+
+
+def load_exported(path: str) -> ExportedDetector:
+    """Reload an `export_detector` artifact for serving."""
+    from jax import export as jexport
+
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            flat = {k: z[k] for k in z.files}
+    except Exception as e:  # not an npz at all (jpeg, pickle, garbage)
+        raise ValueError(f"{path} is not a {_FORMAT} artifact: {e}") from e
+    if "__meta__" not in flat:
+        raise ValueError(f"{path} is not a {_FORMAT} artifact")
+    meta = json.loads(bytes(flat.pop("__meta__")).decode("utf-8"))
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"{path} is not a {_FORMAT} artifact")
+    if meta.get("version", 0) > _VERSION:
+        raise ValueError(
+            f"artifact version {meta['version']} is newer than this "
+            f"library supports ({_VERSION}) — upgrade mydetection_tpu")
+    mlir = bytes(flat.pop("__mlir__"))
+    prefix = f"params{SEP}"
+    params = unflatten_tree({k[len(prefix):]: v for k, v in flat.items()
+                             if k.startswith(prefix)})
+    backend = jax.default_backend()
+    if backend not in meta["platforms"]:
+        raise ValueError(
+            f"artifact was lowered for {meta['platforms']} but this "
+            f"process runs on '{backend}' — re-export on the serving "
+            "platform (or export with platforms=(…))")
+    exp = jexport.deserialize(bytearray(mlir))
+    return ExportedDetector(meta=meta, params=jax.device_put(params),
+                            _call=jax.jit(exp.call))

@@ -67,6 +67,7 @@ def _blocked_greedy_keep(boxes: jnp.ndarray, valid: jnp.ndarray,
     K must be a multiple of `block`. Returns bool (K,).
     """
     k = boxes.shape[0]
+    block = min(block, k)  # small pre_nms budgets (< block) still work
     assert k % block == 0, (k, block)
     num_blocks = k // block
     iou = pairwise_iou(boxes, boxes)  # (K, K)

@@ -282,6 +282,7 @@ def rotated_nms_padded_impl(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     (oracle/CPU) or as the VMEM-resident Pallas kernel (TPU).
     """
     k = boxes.shape[0]
+    block = min(block, k)  # small pre_nms budgets (< block) still work
     assert k % block == 0, (k, block)
     valid = scores > NEG_INF / 2
     iou = pairwise_rotated_iou_impl(boxes, boxes)

@@ -1,0 +1,99 @@
+"""AOT export round-trip: the serialized StableHLO artifact must serve
+bit-identical detections WITHOUT running any model-building code.
+
+Reference context: the reference serves from code + checkpoint
+(SURVEY.md §2.1/§3.1); the TPU-native production artifact is the
+compiled pipeline itself (mydetection_tpu/export.py). These tests pin
+the round-trip on the CPU backend (oracle-NMS path — no custom calls,
+so the artifact sits fully inside jax.export's stability guarantees).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mydetection_tpu import Detector
+from mydetection_tpu.export import export_detector, load_exported
+
+RNG = np.random.RandomState(7)
+IMG = RNG.randint(0, 255, (97, 140, 3), np.uint8)  # non-square: real letterbox
+IMGS = [RNG.randint(0, 255, (80 + 7 * i, 100, 3), np.uint8) for i in range(3)]
+
+
+@pytest.fixture(scope="module")
+def det():
+    # small everything keeps the fused CPU compile fast
+    return Detector(model_name="yolov3", input_size=128, num_classes=3,
+                    compute_dtype=jnp.float32, use_pallas=False,
+                    pre_nms=64, max_dets=10)
+
+
+@pytest.fixture(scope="module")
+def artifact(det, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("export") / "yolov3.mydet")
+    export_detector(det, path, batch_size=2)
+    return path
+
+
+def _assert_same(a, b):
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.boxes_xyxy, b.boxes_xyxy, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a.classes, b.classes)
+    if a.boxes_rot is not None:
+        np.testing.assert_allclose(a.boxes_rot, b.boxes_rot,
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_roundtrip_detect_one(det, artifact):
+    served = load_exported(artifact)
+    assert served.meta["model"] == "yolov3"
+    assert served.meta["batch_size"] == 2
+    want = det.detect_one(np_img=IMG, conf_thres=0.3)
+    got = served.detect_one(np_img=IMG, conf_thres=0.3)
+    assert len(got) > 0, "random-init yolov3 at conf 0.3 should detect"
+    _assert_same(want, got)
+
+
+def test_roundtrip_batch_chunking(det, artifact):
+    """3 images through an exported batch-2 graph: two chunks, the tail
+    chunk padded — padded-row outputs must not leak into results."""
+    served = load_exported(artifact)
+    want = det.detect_batch(IMGS, conf_thres=0.3)
+    got = served.detect_batch(IMGS, conf_thres=0.3)
+    assert len(got) == 3
+    for w, g in zip(want, got):
+        _assert_same(w, g)
+
+
+def test_conf_thres_stays_dynamic(det, artifact):
+    """conf_thres is a traced scalar, not baked: raising it must shrink
+    the detection set on the SAME deserialized artifact."""
+    served = load_exported(artifact)
+    lo = served.detect_one(np_img=IMG, conf_thres=0.05)
+    hi = served.detect_one(np_img=IMG, conf_thres=0.9)
+    assert len(hi) <= len(lo)
+    # default conf comes from metadata when not passed
+    assert served.meta["conf_thres"] == pytest.approx(det.cfg.conf_thres)
+    served.detect_one(np_img=IMG)  # must not raise
+
+
+def test_rotated_roundtrip(tmp_path):
+    det = Detector(model_name="rapid", input_size=128,
+                   compute_dtype=jnp.float32, use_pallas=False,
+                   pre_nms=32, max_dets=8)
+    path = str(tmp_path / "rapid.mydet")
+    export_detector(det, path, batch_size=1)
+    served = load_exported(path)
+    assert served.meta["rotated"] is True
+    want = det.detect_one(np_img=IMG, conf_thres=0.3)
+    got = served.detect_one(np_img=IMG, conf_thres=0.3)
+    _assert_same(want, got)
+
+
+def test_rejects_non_artifact(tmp_path, det):
+    from mydetection_tpu.checkpoint import save_checkpoint
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, det.params)
+    with pytest.raises(ValueError, match="not a mydetection-tpu-export"):
+        load_exported(path)
