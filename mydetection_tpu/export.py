@@ -5,9 +5,11 @@ re-runs model-building Python (myDetection api.py [recalled; SURVEY.md
 §2.1/§3.1]). On TPU the natural production artifact is the *compiled
 function itself*: `jax.export` serializes the jitted detect pipeline
 (normalize → backbone → heads → decode → top-k → NMS) as portable
-StableHLO plus the parameter pytree, and a serving process reloads it
-WITHOUT this package's model code — only the thin host pre/post
-(letterbox, inverse mapping) runs in Python.
+StableHLO plus the parameter leaves (flat, jax tree order — the traced
+fn rebuilds the tree, so even registered-dataclass trees like the int8
+`QuantizedParams` need no class at load time), and a serving process
+reloads it WITHOUT this package's model code — only the thin host
+pre/post (letterbox, inverse mapping) runs in Python.
 
 What the artifact pins:
   - the full device graph at a fixed (batch_size, input_size) bucket,
@@ -37,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mydetection_tpu.checkpoint import SEP, flatten_tree, unflatten_tree
+from mydetection_tpu.checkpoint import SEP
 
 _FORMAT = "mydetection-tpu-export"
 _VERSION = 1
@@ -47,11 +49,15 @@ _KNOWN_CUSTOM_CALLS = ("tpu_custom_call", "ApproxTopK", "PartialReduce",
                        "Sharding", "annotate_device_placement")
 
 
-def _export_fn(det, input_size: int):
-    """One traceable fn(params, images_u8, conf_thres) → padded dets.
+def _export_fn(det, treedef):
+    """One traceable fn(param_leaves, images_u8, conf_thres) → padded dets.
 
     Mirrors `Detector._pipeline`'s fused TPU graph (the CPU split there
-    is only a compile-time dodge; the math is identical).
+    is only a compile-time dodge; the math is identical). Takes the
+    parameters as a FLAT LEAF LIST — a plain-list pytree jax.export can
+    always serialize — and rebuilds the real tree (which may be a
+    registered dataclass like `quant.QuantizedParams`) via the closed-
+    over `treedef` at trace time.
     """
     from mydetection_tpu.api import _make_forward_dense, make_post_one
 
@@ -60,7 +66,8 @@ def _export_fn(det, input_size: int):
     post_one = make_post_one(cfg, det.use_pallas)
     nms_iou = float(cfg.nms_iou)
 
-    def fn(params, images_u8, conf_thres):
+    def fn(param_leaves, images_u8, conf_thres):
+        params = jax.tree_util.tree_unflatten(treedef, param_leaves)
         dense, _ = forward_dense(params, images_u8)
         return jax.vmap(lambda d: post_one(d, conf_thres, nms_iou))(dense)
 
@@ -89,7 +96,8 @@ def export_detector(det, path: str, *, batch_size: int = 1,
     params = det.params if det._q is None else det._q
     if params is None:
         raise ValueError("detector has no parameters to export")
-    p_spec = jax.eval_shape(lambda p: p, params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    p_spec = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
     if det._pack_input:
         img_spec = jax.ShapeDtypeStruct(
             (batch_size, size // 2, size // 2, 12), jnp.uint8)
@@ -97,7 +105,7 @@ def export_detector(det, path: str, *, batch_size: int = 1,
         img_spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
     conf_spec = jax.ShapeDtypeStruct((), jnp.float32)
 
-    fn = jax.jit(_export_fn(det, size))
+    fn = jax.jit(_export_fn(det, treedef))
     from jax import export as jexport
 
     waived: list[str] = []
@@ -132,8 +140,8 @@ def export_detector(det, path: str, *, batch_size: int = 1,
         "jax_version": jax.__version__,
         "waived_custom_call_checks": waived,
     }
-    flat = {f"params{SEP}{k}": np.asarray(v)
-            for k, v in flatten_tree(jax.device_get(params)).items()}
+    flat = {f"params{SEP}{i:06d}": np.asarray(l)
+            for i, l in enumerate(jax.device_get(leaves))}
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
     flat["__mlir__"] = np.frombuffer(exp.serialize(), dtype=np.uint8)
@@ -222,8 +230,11 @@ def load_exported(path: str) -> ExportedDetector:
             f"library supports ({_VERSION}) — upgrade mydetection_tpu")
     mlir = bytes(flat.pop("__mlir__"))
     prefix = f"params{SEP}"
-    params = unflatten_tree({k[len(prefix):]: v for k, v in flat.items()
-                             if k.startswith(prefix)})
+    # param leaves are stored by zero-padded flat index (jax tree order);
+    # the exported fn takes them as a plain list — no tree structure or
+    # model classes needed at serving time.
+    params = [v for _, v in sorted((k, v) for k, v in flat.items()
+                                   if k.startswith(prefix))]
     backend = jax.default_backend()
     if backend not in meta["platforms"]:
         raise ValueError(
@@ -233,3 +244,53 @@ def load_exported(path: str) -> ExportedDetector:
     exp = jexport.deserialize(bytearray(mlir))
     return ExportedDetector(meta=meta, params=jax.device_put(params),
                             _call=jax.jit(exp.call))
+
+
+def main() -> None:
+    """CLI: `python -m mydetection_tpu.export --model yolov3 …`."""
+    import argparse
+
+    from mydetection_tpu import Detector
+
+    ap = argparse.ArgumentParser(
+        description="Serialize a detector's compiled pipeline to one "
+                    "serving artifact (StableHLO + weights).")
+    ap.add_argument("--model", required=True, help="registered model name")
+    ap.add_argument("--out", required=True, help="output .mydet path")
+    ap.add_argument("--weights", default=None,
+                    help=".npz / .pt / .weights checkpoint (default: "
+                         "random init — useful only for smoke tests)")
+    ap.add_argument("--quantized", default=None, metavar="INT8_NPZ",
+                    help="saved save_quantized() artifact to export the "
+                         "int8 serving path instead of float")
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--input-size", type=int, default=None,
+                    help="square input bucket (default: model config)")
+    ap.add_argument("--num-classes", type=int, default=None)
+    ap.add_argument("--oracle-nms", action="store_true",
+                    help="lower the pure-XLA NMS instead of the Pallas "
+                         "kernel (no custom calls — fully portable)")
+    ap.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. tpu,cpu "
+                         "(default: current backend)")
+    args = ap.parse_args()
+
+    overrides = {}
+    if args.num_classes is not None:
+        overrides["num_classes"] = args.num_classes
+    if args.input_size is not None:
+        overrides["input_size"] = args.input_size
+    det = Detector(model_name=args.model, weights_path=args.weights,
+                   quantized=args.quantized or False,
+                   use_pallas=False if args.oracle_nms else None, **overrides)
+    platforms = args.platforms.split(",") if args.platforms else None
+    export_detector(det, args.out, batch_size=args.batch_size,
+                    input_size=args.input_size, platforms=platforms)
+    meta = load_exported(args.out).meta
+    print(json.dumps({"out": args.out, **{k: meta[k] for k in (
+        "model", "input_size", "batch_size", "platforms", "quantized",
+        "waived_custom_call_checks")}}))
+
+
+if __name__ == "__main__":
+    main()

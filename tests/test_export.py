@@ -91,6 +91,40 @@ def test_rotated_roundtrip(tmp_path):
     _assert_same(want, got)
 
 
+def test_int8_roundtrip(tmp_path):
+    """The int8 serving path exports too: the artifact carries the
+    calibrated quantized tree and reproduces the live int8 detections."""
+    det = Detector(model_name="yolov3", input_size=128, num_classes=3,
+                   compute_dtype=jnp.float32, use_pallas=False,
+                   pre_nms=64, max_dets=10, quantized=True)  # noise calib
+    path = str(tmp_path / "yolov3-int8.mydet")
+    export_detector(det, path, batch_size=1)
+    served = load_exported(path)
+    assert served.meta["quantized"] is True
+    want = det.detect_one(np_img=IMG, conf_thres=0.3)
+    got = served.detect_one(np_img=IMG, conf_thres=0.3)
+    _assert_same(want, got)
+
+
+def test_cli_export(det, tmp_path, monkeypatch, capsys):
+    """`python -m mydetection_tpu.export` writes a loadable artifact and
+    prints one JSON line of its metadata."""
+    import json
+    import sys
+
+    from mydetection_tpu import export as export_cli
+
+    out = str(tmp_path / "cli.mydet")
+    monkeypatch.setattr(sys, "argv", [
+        "export", "--model", "yolov3", "--out", out, "--num-classes", "3",
+        "--input-size", "128", "--batch-size", "2", "--oracle-nms"])
+    export_cli.main()
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["out"] == out and meta["batch_size"] == 2
+    served = load_exported(out)
+    assert len(served.detect_one(np_img=IMG, conf_thres=0.9)) >= 0
+
+
 def test_rejects_non_artifact(tmp_path, det):
     from mydetection_tpu.checkpoint import save_checkpoint
     path = str(tmp_path / "ckpt.npz")
