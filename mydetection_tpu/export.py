@@ -74,10 +74,14 @@ def _export_fn(det, treedef):
     return fn
 
 
-def export_detector(det, path: str, *, batch_size: int = 1,
+def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
                     input_size: int | None = None,
                     platforms: Sequence[str] | None = None) -> None:
-    """Serialize `det`'s detect pipeline at one (batch, size) bucket.
+    """Serialize `det`'s detect pipeline at one or more batch buckets.
+
+    batch_size: one int or several (e.g. (1, 32) — a latency bucket
+    next to a throughput bucket; the loader picks the best fit per
+    request). All buckets share one weight copy in the artifact.
 
     platforms: lowering targets (default: the current backend). Multi-
     platform export (e.g. ("tpu", "cpu")) requires every op in the
@@ -92,43 +96,55 @@ def export_detector(det, path: str, *, batch_size: int = 1,
     if platforms is None:
         platforms = (jax.default_backend(),)
     platforms = tuple(str(p) for p in platforms)
+    batch_sizes = sorted({int(b) for b in (
+        (batch_size,) if isinstance(batch_size, int) else batch_size)})
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch sizes must be >= 1, got {batch_sizes}")
 
     params = det.params if det._q is None else det._q
     if params is None:
         raise ValueError("detector has no parameters to export")
     leaves, treedef = jax.tree_util.tree_flatten(params)
     p_spec = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
-    if det._pack_input:
-        img_spec = jax.ShapeDtypeStruct(
-            (batch_size, size // 2, size // 2, 12), jnp.uint8)
-    else:
-        img_spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8)
     conf_spec = jax.ShapeDtypeStruct((), jnp.float32)
 
     fn = jax.jit(_export_fn(det, treedef))
     from jax import export as jexport
 
     waived: list[str] = []
-    try:
-        exp = jexport.export(fn, platforms=platforms)(p_spec, img_spec, conf_spec)
-    except ValueError as e:
-        # Re-run waiving exactly the known TPU custom calls this
-        # pipeline emits (Pallas NMS, approx top-k). An unknown target
-        # in the message stays fatal.
-        msg = str(e)
-        waived = [t for t in _KNOWN_CUSTOM_CALLS if t in msg]
-        if not waived:
-            raise
-        checks = [jexport.DisabledSafetyCheck.custom_call(t) for t in waived]
-        exp = jexport.export(fn, platforms=platforms,
-                             disabled_checks=checks)(p_spec, img_spec, conf_spec)
+    blobs: dict[int, bytes] = {}
+    for b in batch_sizes:
+        if det._pack_input:
+            img_spec = jax.ShapeDtypeStruct(
+                (b, size // 2, size // 2, 12), jnp.uint8)
+        else:
+            img_spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
+        try:
+            exp = jexport.export(fn, platforms=platforms)(
+                p_spec, img_spec, conf_spec)
+        except ValueError as e:
+            # Re-run waiving exactly the known TPU custom calls this
+            # pipeline emits (Pallas NMS, approx top-k). An unknown
+            # target in the message stays fatal.
+            msg = str(e)
+            waived = sorted(set(waived)
+                            | {t for t in _KNOWN_CUSTOM_CALLS if t in msg})
+            if not waived:
+                raise
+            checks = [jexport.DisabledSafetyCheck.custom_call(t)
+                      for t in waived]
+            exp = jexport.export(fn, platforms=platforms,
+                                 disabled_checks=checks)(
+                p_spec, img_spec, conf_spec)
+        blobs[b] = exp.serialize()
 
     meta = {
         "format": _FORMAT,
         "version": _VERSION,
         "model": cfg.name,
         "input_size": size,
-        "batch_size": int(batch_size),
+        "batch_size": batch_sizes[-1],  # legacy single-bucket field
+        "batch_sizes": batch_sizes,
         "rotated": bool(cfg.rotated),
         "class_names": list(cfg.class_names) if cfg.class_names else None,
         "conf_thres": float(cfg.conf_thres),
@@ -144,7 +160,8 @@ def export_detector(det, path: str, *, batch_size: int = 1,
             for i, l in enumerate(jax.device_get(leaves))}
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    flat["__mlir__"] = np.frombuffer(exp.serialize(), dtype=np.uint8)
+    for b, blob in blobs.items():
+        flat[f"__mlir__{b}"] = np.frombuffer(blob, dtype=np.uint8)
     with open(path, "wb") as f:
         np.savez(f, **flat)
 
@@ -153,34 +170,73 @@ def export_detector(det, path: str, *, batch_size: int = 1,
 class ExportedDetector:
     """Serve a `export_detector` artifact — no model-building code runs.
 
-    detect_one/detect_batch mirror `Detector`'s host pipeline
-    (letterbox → exported device graph → strip + inverse-letterbox);
-    batches are padded to the exported batch size and chunked.
+    detect_one/detect_batch/detect_imgSeq mirror `Detector`'s host
+    pipeline (letterbox → exported device graph → strip +
+    inverse-letterbox); batches are chunked over the exported batch
+    buckets, each chunk padded to its bucket.
     """
 
     meta: dict
     params: object
-    _call: callable  # jitted exported.call
+    _calls: dict  # batch_size -> jitted exported.call
+
+    @property
+    def batch_sizes(self) -> list[int]:
+        return sorted(self._calls)
+
+    def warmup(self) -> None:
+        """Compile every exported bucket up front (the StableHLO still
+        goes through XLA's backend compile on first call)."""
+        for b in self.batch_sizes:
+            size = self.meta["input_size"]
+            self._run(np.zeros((b, size, size, 3), np.uint8),
+                      self.meta["conf_thres"])
 
     def _run(self, canvases: np.ndarray, conf: float) -> dict:
-        if self.meta["pack_input"]:
+        if self.meta["pack_input"] and canvases.shape[-1] == 3:
             from mydetection_tpu.utils.image_ops import pack_s2d2
             canvases = pack_s2d2(np.asarray(canvases))
-        out = self._call(self.params, jnp.asarray(canvases),
-                         jnp.float32(conf))
+        call = self._calls[canvases.shape[0]]
+        out = call(self.params, jnp.asarray(canvases), jnp.float32(conf))
         return jax.device_get(out)
 
+    def _chunks(self, n: int) -> list[tuple[int, int]]:
+        """Greedy (rows_taken, bucket) plan covering n images: largest
+        bucket that fills completely, else the smallest that fits the
+        remainder (padded)."""
+        bs = self.batch_sizes
+        plan, rem = [], n
+        while rem > 0:
+            filled = [b for b in bs if b <= rem]
+            b = max(filled) if filled else min(b for b in bs if b >= rem)
+            take = min(b, rem)
+            plan.append((take, b))
+            rem -= take
+        return plan
+
     def detect_one(self, *, img_path=None, pil_img=None, np_img=None,
-                   conf_thres: float | None = None):
+                   conf_thres: float | None = None, visualize: bool = False,
+                   save_path: str | None = None):
         from mydetection_tpu.api import _load_image, strip_detections
         from mydetection_tpu.utils.image_ops import letterbox_pil
 
         img = _load_image(img_path, pil_img, np_img)
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
         canvas, info = letterbox_pil(img, self.meta["input_size"])
-        batch = np.repeat(canvas[None], self.meta["batch_size"], axis=0)
-        out = self._run(batch, conf)
-        return strip_detections(out, 0, info, rotated=self.meta["rotated"])
+        bsz = self.batch_sizes[0]  # smallest bucket: lowest latency
+        out = self._run(np.repeat(canvas[None], bsz, axis=0), conf)
+        dets = strip_detections(out, 0, info, rotated=self.meta["rotated"])
+        if visualize or save_path:
+            from PIL import Image
+
+            from mydetection_tpu.utils.visualization import draw_detections
+            vis = draw_detections(np.asarray(img.convert("RGB")), dets,
+                                  class_names=self.meta["class_names"])
+            if save_path:
+                Image.fromarray(vis).save(save_path)
+            if visualize:
+                dets.visualized = vis
+        return dets
 
     def detect_batch(self, images, *, conf_thres: float | None = None) -> list:
         from mydetection_tpu.api import _load_image, strip_detections
@@ -188,7 +244,7 @@ class ExportedDetector:
         from PIL import Image
 
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
-        size, bsz = self.meta["input_size"], self.meta["batch_size"]
+        size = self.meta["input_size"]
         canvases, infos = [], []
         for im in images:
             pil = _load_image(img_path=im) if isinstance(im, str) else _load_image(
@@ -197,17 +253,21 @@ class ExportedDetector:
             canvas, info = letterbox_pil(pil, size)
             canvases.append(canvas)
             infos.append(info)
-        dets = []
-        for start in range(0, len(canvases), bsz):
-            chunk = canvases[start:start + bsz]
-            n = len(chunk)
+        dets, start = [], 0
+        for n, bsz in self._chunks(len(canvases)):
+            chunk = canvases[start:start + n]
             while len(chunk) < bsz:  # pad the tail chunk; rows dropped below
                 chunk = chunk + [chunk[-1]]
             out = self._run(np.stack(chunk), conf)
             dets += [strip_detections(out, i, infos[start + i],
                                       rotated=self.meta["rotated"])
                      for i in range(n)]
+            start += n
         return dets
+
+    # reference-name alias, matching Detector.detect_imgSeq
+    def detect_imgSeq(self, img_paths: Sequence[str], **kw) -> list:
+        return self.detect_batch(list(img_paths), **kw)
 
 
 def load_exported(path: str) -> ExportedDetector:
@@ -228,7 +288,8 @@ def load_exported(path: str) -> ExportedDetector:
         raise ValueError(
             f"artifact version {meta['version']} is newer than this "
             f"library supports ({_VERSION}) — upgrade mydetection_tpu")
-    mlir = bytes(flat.pop("__mlir__"))
+    blobs = {int(k[len("__mlir__"):]): bytes(v) for k, v in flat.items()
+             if k.startswith("__mlir__")}
     prefix = f"params{SEP}"
     # param leaves are stored by zero-padded flat index (jax tree order);
     # the exported fn takes them as a plain list — no tree structure or
@@ -241,9 +302,10 @@ def load_exported(path: str) -> ExportedDetector:
             f"artifact was lowered for {meta['platforms']} but this "
             f"process runs on '{backend}' — re-export on the serving "
             "platform (or export with platforms=(…))")
-    exp = jexport.deserialize(bytearray(mlir))
+    calls = {b: jax.jit(jexport.deserialize(bytearray(blob)).call)
+             for b, blob in blobs.items()}
     return ExportedDetector(meta=meta, params=jax.device_put(params),
-                            _call=jax.jit(exp.call))
+                            _calls=calls)
 
 
 def main() -> None:
@@ -263,7 +325,9 @@ def main() -> None:
     ap.add_argument("--quantized", default=None, metavar="INT8_NPZ",
                     help="saved save_quantized() artifact to export the "
                          "int8 serving path instead of float")
-    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--batch-size", default="1",
+                    help="batch bucket(s), comma-separated — e.g. 1,32 "
+                         "for a latency bucket next to a throughput one")
     ap.add_argument("--input-size", type=int, default=None,
                     help="square input bucket (default: model config)")
     ap.add_argument("--num-classes", type=int, default=None)
@@ -284,11 +348,13 @@ def main() -> None:
                    quantized=args.quantized or False,
                    use_pallas=False if args.oracle_nms else None, **overrides)
     platforms = args.platforms.split(",") if args.platforms else None
-    export_detector(det, args.out, batch_size=args.batch_size,
+    export_detector(det, args.out,
+                    batch_size=[int(x) for x in
+                                str(args.batch_size).split(",")],
                     input_size=args.input_size, platforms=platforms)
     meta = load_exported(args.out).meta
     print(json.dumps({"out": args.out, **{k: meta[k] for k in (
-        "model", "input_size", "batch_size", "platforms", "quantized",
+        "model", "input_size", "batch_sizes", "platforms", "quantized",
         "waived_custom_call_checks")}}))
 
 

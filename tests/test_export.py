@@ -91,6 +91,42 @@ def test_rotated_roundtrip(tmp_path):
     _assert_same(want, got)
 
 
+def test_multi_bucket_and_parity_surface(det, tmp_path):
+    """A (1, 2)-bucket artifact serves 3 images as one full batch-2
+    chunk plus one batch-1 chunk (no padding waste), and the serving
+    surface matches Detector: detect_imgSeq, visualize, warmup."""
+    path = str(tmp_path / "multi.mydet")
+    export_detector(det, path, batch_size=(1, 2))
+    served = load_exported(path)
+    assert served.batch_sizes == [1, 2]
+    assert served.meta["batch_sizes"] == [1, 2]
+    assert served._chunks(3) == [(2, 2), (1, 1)]
+    assert served._chunks(1) == [(1, 1)]
+    served.warmup()
+
+    want = det.detect_batch(IMGS, conf_thres=0.3)
+    got = served.detect_batch(IMGS, conf_thres=0.3)
+    for w, g in zip(want, got):
+        _assert_same(w, g)
+
+    # detect_imgSeq parity via paths
+    from PIL import Image
+    paths = []
+    for i, im in enumerate(IMGS):
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(im).save(p)
+        paths.append(p)
+    seq = served.detect_imgSeq(paths, conf_thres=0.3)
+    for w, g in zip(want, seq):
+        _assert_same(w, g)
+
+    vis_path = str(tmp_path / "vis.png")
+    dets = served.detect_one(np_img=IMG, conf_thres=0.3, visualize=True,
+                             save_path=vis_path)
+    assert dets.visualized is not None and dets.visualized.shape == IMG.shape
+    assert Image.open(vis_path).size == (IMG.shape[1], IMG.shape[0])
+
+
 def test_int8_roundtrip(tmp_path):
     """The int8 serving path exports too: the artifact carries the
     calibrated quantized tree and reproduces the live int8 detections."""
@@ -120,7 +156,7 @@ def test_cli_export(det, tmp_path, monkeypatch, capsys):
         "--input-size", "128", "--batch-size", "2", "--oracle-nms"])
     export_cli.main()
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert meta["out"] == out and meta["batch_size"] == 2
+    assert meta["out"] == out and meta["batch_sizes"] == [2]
     served = load_exported(out)
     assert len(served.detect_one(np_img=IMG, conf_thres=0.9)) >= 0
 
