@@ -44,12 +44,41 @@ def main() -> None:
                     help="calibration images for --quantized")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard eval batches over all local devices")
+    ap.add_argument("--exported", default=None, metavar="ARTIFACT",
+                    help="evaluate a .mydet export artifact "
+                         "(mydetection_tpu.export) instead of building "
+                         "a model — --model/--weights and all model "
+                         "overrides are ignored; nms_iou/input size are "
+                         "the artifact's baked values")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     from mydetection_tpu import Detector
     from mydetection_tpu.eval.evaluator import evaluate_detector
+
+    if args.exported:
+        from mydetection_tpu.export import load_exported
+
+        served = load_exported(args.exported)
+        nms = served.meta["nms_iou"]  # baked; CLI --nms-iou is ignored
+        if args.rotated:
+            from mydetection_tpu.eval.rotated_eval import (
+                evaluate_rotated_detector,
+            )
+            stats = evaluate_rotated_detector(
+                served, args.ann, args.img_dir, conf_thres=args.conf_thres,
+                nms_iou=nms, batch_size=args.batch_size,
+                max_images=args.max_images, num_threads=args.num_threads,
+                results_path=args.out)
+        else:
+            stats = evaluate_detector(
+                served, args.ann, args.img_dir, conf_thres=args.conf_thres,
+                nms_iou=nms, batch_size=args.batch_size,
+                max_images=args.max_images, num_threads=args.num_threads,
+                results_path=args.out)
+        print({k: round(v, 4) for k, v in stats.items()})
+        return
 
     overrides = {}
     if args.data_parallel:

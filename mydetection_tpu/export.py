@@ -119,18 +119,21 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
                 (b, size // 2, size // 2, 12), jnp.uint8)
         else:
             img_spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
+        checks = [jexport.DisabledSafetyCheck.custom_call(t) for t in waived]
         try:
-            exp = jexport.export(fn, platforms=platforms)(
+            exp = jexport.export(fn, platforms=platforms,
+                                 disabled_checks=checks)(
                 p_spec, img_spec, conf_spec)
         except ValueError as e:
             # Re-run waiving exactly the known TPU custom calls this
             # pipeline emits (Pallas NMS, approx top-k). An unknown
-            # target in the message stays fatal.
+            # target in the message stays fatal. Waivers accumulate so
+            # later buckets export in one pass.
             msg = str(e)
-            waived = sorted(set(waived)
-                            | {t for t in _KNOWN_CUSTOM_CALLS if t in msg})
-            if not waived:
+            fresh = {t for t in _KNOWN_CUSTOM_CALLS if t in msg} - set(waived)
+            if not fresh:
                 raise
+            waived = sorted(set(waived) | fresh)
             checks = [jexport.DisabledSafetyCheck.custom_call(t)
                       for t in waived]
             exp = jexport.export(fn, platforms=platforms,
@@ -146,6 +149,7 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
         "batch_size": batch_sizes[-1],  # legacy single-bucket field
         "batch_sizes": batch_sizes,
         "rotated": bool(cfg.rotated),
+        "num_classes": int(cfg.num_classes),
         "class_names": list(cfg.class_names) if cfg.class_names else None,
         "conf_thres": float(cfg.conf_thres),
         "nms_iou": float(cfg.nms_iou),
@@ -183,6 +187,20 @@ class ExportedDetector:
     @property
     def batch_sizes(self) -> list[int]:
         return sorted(self._calls)
+
+    @property
+    def cfg(self):
+        """Config view over the metadata — enough surface for the
+        evaluators (`eval/evaluator.py` reads cfg.name / input_size /
+        num_classes / conf_thres / nms_iou)."""
+        from types import SimpleNamespace
+
+        m = self.meta
+        return SimpleNamespace(
+            name=m["model"], input_size=m["input_size"],
+            num_classes=m.get("num_classes"), conf_thres=m["conf_thres"],
+            nms_iou=m["nms_iou"], rotated=m["rotated"],
+            max_dets=m["max_dets"], class_names=m["class_names"])
 
     def warmup(self) -> None:
         """Compile every exported bucket up front (the StableHLO still
@@ -268,6 +286,34 @@ class ExportedDetector:
     # reference-name alias, matching Detector.detect_imgSeq
     def detect_imgSeq(self, img_paths: Sequence[str], **kw) -> list:
         return self.detect_batch(list(img_paths), **kw)
+
+    def detect_prepared(self, canvases, infos, *,
+                        conf_thres: float | None = None,
+                        nms_iou: float | None = None) -> list:
+        """Detect on already-letterboxed uint8 canvases — the evaluator
+        / streaming fast path (`eval/evaluator.py`). Only the first
+        len(infos) rows are real. `nms_iou` is baked into the artifact;
+        passing a different value is an error, not a silent ignore."""
+        from mydetection_tpu.api import strip_detections
+
+        if nms_iou is not None and abs(nms_iou - self.meta["nms_iou"]) > 1e-9:
+            raise ValueError(
+                f"nms_iou is static in an exported artifact (baked at "
+                f"{self.meta['nms_iou']}); re-export to change it")
+        conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
+        canvases = np.asarray(canvases)  # device-resident input → host
+        dets, start = [], 0
+        for n, bsz in self._chunks(len(infos)):
+            chunk = canvases[start:start + n]
+            if len(chunk) < bsz:
+                pad = np.repeat(chunk[-1:], bsz - len(chunk), axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            out = self._run(chunk, conf)
+            dets += [strip_detections(out, i, infos[start + i],
+                                      rotated=self.meta["rotated"])
+                     for i in range(n)]
+            start += n
+        return dets
 
 
 def load_exported(path: str) -> ExportedDetector:

@@ -161,6 +161,45 @@ def test_cli_export(det, tmp_path, monkeypatch, capsys):
     assert len(served.detect_one(np_img=IMG, conf_thres=0.9)) >= 0
 
 
+def test_eval_from_artifact_matches_live(det, artifact, tmp_path):
+    """evaluate_detector accepts an ExportedDetector (the evaluate.py
+    --exported path) and produces the same mAP as the live Detector."""
+    import json
+
+    from mydetection_tpu.eval.cocoeval import COCOGt
+    from mydetection_tpu.eval.evaluator import evaluate_detector
+
+    rng = np.random.RandomState(11)
+    images, annotations = [], []
+    for i in range(5):
+        w, h = 100, 80
+        from PIL import Image
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            tmp_path / f"img{i}.jpg")
+        images.append({"id": i, "file_name": f"img{i}.jpg",
+                       "width": w, "height": h})
+        bw, bh = float(rng.uniform(10, 30)), float(rng.uniform(10, 30))
+        annotations.append({
+            "id": i, "image_id": i, "category_id": int(rng.choice([1, 2, 3])),
+            "bbox": [float(rng.uniform(0, w - bw)),
+                     float(rng.uniform(0, h - bh)), bw, bh],
+            "area": bw * bh, "iscrowd": 0})
+    gt_dict = {"images": images, "annotations": annotations,
+               "categories": [{"id": c, "name": str(c)} for c in (1, 2, 3)]}
+    ann = str(tmp_path / "ann.json")
+    with open(ann, "w") as fh:
+        json.dump(gt_dict, fh)
+
+    served = load_exported(artifact)
+    kw = dict(conf_thres=0.3, nms_iou=served.meta["nms_iou"],
+              batch_size=2, num_threads=1, verbose=False)
+    want = evaluate_detector(det, COCOGt(ann), str(tmp_path), **kw)
+    got = evaluate_detector(served, COCOGt(ann), str(tmp_path), **kw)
+    assert want.keys() == got.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
 def test_rejects_non_artifact(tmp_path, det):
     from mydetection_tpu.checkpoint import save_checkpoint
     path = str(tmp_path / "ckpt.npz")
