@@ -25,14 +25,26 @@ def evaluate_coco(detector, ann_file, img_dir, **kw):
     return evaluate_detector(detector, ann_file, img_dir, **kw)
 
 
+def __getattr__(name):
+    # AOT serving artifact surface, lazily bound (pulls in jax.export)
+    if name in ("export_detector", "load_exported", "ExportedDetector"):
+        from mydetection_tpu import export as _export
+
+        return getattr(_export, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "Detections",
     "Detector",
+    "ExportedDetector",
     "Model",
     "ModelConfig",
     "evaluate_coco",
+    "export_detector",
     "get_model",
     "list_models",
+    "load_exported",
 ]
 
 __version__ = "0.1.0"

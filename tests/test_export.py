@@ -206,3 +206,30 @@ def test_rejects_non_artifact(tmp_path, det):
     save_checkpoint(path, det.params)
     with pytest.raises(ValueError, match="not a mydetection-tpu-export"):
         load_exported(path)
+
+
+def test_rejects_platform_mismatch(artifact, tmp_path):
+    """A CPU process must refuse an artifact lowered only for TPU with
+    a readable re-export hint, not a deep StableHLO error."""
+    import json
+
+    with np.load(artifact, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(flat["__meta__"]).decode("utf-8"))
+    meta["platforms"] = ["tpu"]
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    path = str(tmp_path / "tpu-only.mydet")
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+    with pytest.raises(ValueError, match="re-export on the serving"):
+        load_exported(path)
+
+
+def test_public_surface_reexport():
+    import mydetection_tpu as m
+
+    assert m.export_detector is not None and m.load_exported is not None
+    assert m.ExportedDetector is not None
+    with pytest.raises(AttributeError):
+        m.no_such_symbol
