@@ -62,7 +62,13 @@ def main() -> None:
 
         served = load_exported(args.exported)
         nms = served.meta["nms_iou"]  # baked; CLI --nms-iou is ignored
-        if args.rotated:
+        # the artifact knows whether it is rotated — dispatch on its
+        # metadata, and reject a contradicting flag loudly
+        if args.rotated and not served.meta["rotated"]:
+            raise SystemExit(
+                f"--rotated passed but {args.exported} is an axis-aligned "
+                f"{served.meta['model']!r} artifact")
+        if served.meta["rotated"]:
             from mydetection_tpu.eval.rotated_eval import (
                 evaluate_rotated_detector,
             )

@@ -94,7 +94,12 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
     size = int(input_size or cfg.input_size)
     check_input_size(size)
     if platforms is None:
-        platforms = (jax.default_backend(),)
+        backend = jax.default_backend()
+        # jax.export names GPU lowerings 'cuda'/'rocm', never 'gpu'
+        if backend == "gpu":
+            backend = getattr(jax.devices()[0], "platform_version", "")
+            backend = "rocm" if "rocm" in backend.lower() else "cuda"
+        platforms = (backend,)
     platforms = tuple(str(p) for p in platforms)
     batch_sizes = sorted({int(b) for b in (
         (batch_size,) if isinstance(batch_size, int) else batch_size)})
@@ -219,17 +224,30 @@ class ExportedDetector:
         return jax.device_get(out)
 
     def _chunks(self, n: int) -> list[tuple[int, int]]:
-        """Greedy (rows_taken, bucket) plan covering n images: largest
-        bucket that fills completely, else the smallest that fits the
-        remainder (padded)."""
+        """(rows_taken, bucket) plan covering n images.
+
+        Fill the largest bucket while it fits; for the remainder,
+        one padded call with the smallest bucket that covers it beats
+        a pile of small-bucket calls (each call is a device dispatch)
+        unless the remainder is tiny — heuristics: pad when the
+        remainder fills more than half the covering bucket, or when
+        greedy small-bucket filling would need > 4 calls."""
         bs = self.batch_sizes
         plan, rem = [], n
         while rem > 0:
+            if rem >= bs[-1]:
+                plan.append((bs[-1], bs[-1]))
+                rem -= bs[-1]
+                continue
+            covering = [b for b in bs if b >= rem]  # non-empty: rem < bs[-1]
+            b_hi = min(covering)
             filled = [b for b in bs if b <= rem]
-            b = max(filled) if filled else min(b for b in bs if b >= rem)
-            take = min(b, rem)
-            plan.append((take, b))
-            rem -= take
+            if not filled or rem > b_hi // 2 or rem // max(filled) > 4:
+                plan.append((rem, b_hi))  # one padded call finishes
+                return plan
+            b = max(filled)
+            plan.append((b, b))
+            rem -= b
         return plan
 
     def detect_one(self, *, img_path=None, pil_img=None, np_img=None,
@@ -301,18 +319,47 @@ class ExportedDetector:
                 f"nms_iou is static in an exported artifact (baked at "
                 f"{self.meta['nms_iou']}); re-export to change it")
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
+        size = self.meta["input_size"]
+        packed = canvases.shape[-1] == 12
+        if canvases.shape[-1] not in (3, 12):
+            raise ValueError(
+                f"detect_prepared expects (B, S, S, 3) RGB or "
+                f"(B, S/2, S/2, 12) S2D-2 packed canvases, got shape "
+                f"{tuple(canvases.shape)}")
+        if packed and not self.meta["pack_input"]:
+            raise ValueError(
+                "S2D-2 packed canvases staged against an artifact "
+                "exported without pack_input — stage unpacked "
+                "(B, S, S, 3) canvases (StreamingPipeline(pack_s2d2="
+                "False)) or re-export from a Detector(pack_input=True)")
+        want_hw = (size // 2, size // 2) if packed else (size, size)
+        if tuple(canvases.shape[1:3]) != want_hw:
+            raise ValueError(
+                f"canvases are letterboxed to {tuple(canvases.shape[1:3])} "
+                f"but the artifact is baked at input_size={size} — "
+                f"re-letterbox or re-export")
+        rotated = self.meta["rotated"]
+        n = len(infos)
+        if canvases.shape[0] in self._calls and (
+                packed or not self.meta["pack_input"]):
+            # device fast path: the staged batch (real rows + the
+            # pipeline's own padding) matches an exported bucket —
+            # run it as-is, no host round-trip, strip the first n rows
+            out = self._run(canvases, conf)
+            return [strip_detections(out, i, infos[i], rotated=rotated)
+                    for i in range(n)]
         canvases = np.asarray(canvases)  # device-resident input → host
         dets, start = [], 0
-        for n, bsz in self._chunks(len(infos)):
-            chunk = canvases[start:start + n]
+        for take, bsz in self._chunks(n):
+            chunk = canvases[start:start + take]
             if len(chunk) < bsz:
                 pad = np.repeat(chunk[-1:], bsz - len(chunk), axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
             out = self._run(chunk, conf)
             dets += [strip_detections(out, i, infos[start + i],
-                                      rotated=self.meta["rotated"])
-                     for i in range(n)]
-            start += n
+                                      rotated=rotated)
+                     for i in range(take)]
+            start += take
         return dets
 
 
@@ -343,7 +390,9 @@ def load_exported(path: str) -> ExportedDetector:
     params = [v for _, v in sorted((k, v) for k, v in flat.items()
                                    if k.startswith(prefix))]
     backend = jax.default_backend()
-    if backend not in meta["platforms"]:
+    # 'gpu' backend serves artifacts lowered for 'cuda' or 'rocm'
+    compatible = {backend} | ({"cuda", "rocm"} if backend == "gpu" else set())
+    if not compatible & set(meta["platforms"]):
         raise ValueError(
             f"artifact was lowered for {meta['platforms']} but this "
             f"process runs on '{backend}' — re-export on the serving "

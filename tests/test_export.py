@@ -127,6 +127,46 @@ def test_multi_bucket_and_parity_surface(det, tmp_path):
     assert Image.open(vis_path).size == (IMG.shape[1], IMG.shape[0])
 
 
+def test_chunk_plan_avoids_tiny_call_storms():
+    """A (1, 32) artifact must serve 31 images as ONE padded batch-32
+    call, not 31 batch-1 dispatches."""
+    from mydetection_tpu.export import ExportedDetector
+
+    ed = ExportedDetector(meta={}, params=None, _calls={1: None, 32: None})
+    assert ed._chunks(31) == [(31, 32)]
+    assert ed._chunks(16) == [(16, 32)]
+    assert ed._chunks(33) == [(32, 32), (1, 1)]
+    assert ed._chunks(64) == [(32, 32), (32, 32)]
+    assert ed._chunks(2) == [(1, 1), (1, 1)]  # tiny tails stay small
+    only4 = ExportedDetector(meta={}, params=None, _calls={4: None})
+    assert only4._chunks(3) == [(3, 4)]
+    assert only4._chunks(9) == [(4, 4), (4, 4), (1, 4)]
+
+
+def test_detect_prepared_guards(det, artifact):
+    """Layout/size mistakes fail with readable errors, not deep
+    StableHLO shape errors."""
+    from mydetection_tpu.utils.image_ops import letterbox_pil
+    from PIL import Image
+
+    served = load_exported(artifact)
+    cv, info = letterbox_pil(Image.fromarray(IMG), 128)
+    with pytest.raises(ValueError, match="nms_iou is static"):
+        served.detect_prepared(cv[None], [info], nms_iou=0.99)
+    with pytest.raises(ValueError, match="expects"):
+        served.detect_prepared(np.zeros((1, 128, 128, 4), np.uint8), [info])
+    with pytest.raises(ValueError, match="exported without pack_input"):
+        served.detect_prepared(np.zeros((1, 64, 64, 12), np.uint8), [info])
+    with pytest.raises(ValueError, match="input_size=128"):
+        served.detect_prepared(np.zeros((1, 96, 96, 3), np.uint8), [info])
+    # bucket-matched batch runs as-is (fast path), padding rows ignored
+    batch = np.stack([cv, np.zeros_like(cv)])
+    got = served.detect_prepared(batch, [info], conf_thres=0.3)
+    want = det.detect_one(np_img=IMG, conf_thres=0.3)
+    assert len(got) == 1
+    _assert_same(want, got[0])
+
+
 def test_int8_roundtrip(tmp_path):
     """The int8 serving path exports too: the artifact carries the
     calibrated quantized tree and reproduces the live int8 detections."""
@@ -158,7 +198,13 @@ def test_cli_export(det, tmp_path, monkeypatch, capsys):
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["out"] == out and meta["batch_sizes"] == [2]
     served = load_exported(out)
-    assert len(served.detect_one(np_img=IMG, conf_thres=0.9)) >= 0
+    dets = served.detect_one(np_img=IMG, conf_thres=0.05)
+    assert len(dets) > 0, "random-init yolov3 at conf 0.05 must detect"
+    assert np.all(np.diff(dets.scores) <= 1e-6)  # sorted descending
+    h, w = IMG.shape[:2]
+    assert np.all(dets.boxes_xyxy[:, [0, 1]] >= 0)
+    assert np.all(dets.boxes_xyxy[:, 2] <= w)
+    assert np.all(dets.boxes_xyxy[:, 3] <= h)
 
 
 def test_eval_from_artifact_matches_live(det, artifact, tmp_path):
@@ -198,6 +244,26 @@ def test_eval_from_artifact_matches_live(det, artifact, tmp_path):
     assert want.keys() == got.keys()
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_evaluate_cli_rejects_rotated_mismatch(artifact, tmp_path,
+                                               monkeypatch):
+    """evaluate.py --exported dispatches on the artifact's own rotated
+    metadata; a contradicting --rotated flag fails loudly."""
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_eval_cli_export", os.path.join(repo, "evaluate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--exported", artifact, "--rotated",
+        "--ann", str(tmp_path / "none.json"), "--img-dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="axis-aligned"):
+        mod.main()
 
 
 def test_rejects_non_artifact(tmp_path, det):
