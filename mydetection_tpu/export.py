@@ -75,13 +75,16 @@ def _export_fn(det, treedef):
 
 
 def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
-                    input_size: int | None = None,
+                    input_size: int | Sequence[int] | None = None,
                     platforms: Sequence[str] | None = None) -> None:
-    """Serialize `det`'s detect pipeline at one or more batch buckets.
+    """Serialize `det`'s detect pipeline at a (size × batch) bucket grid.
 
     batch_size: one int or several (e.g. (1, 32) — a latency bucket
     next to a throughput bucket; the loader picks the best fit per
-    request). All buckets share one weight copy in the artifact.
+    request). input_size: one square size or several (e.g. (416, 608)
+    — the reference's `input_size` kwarg / multi-scale serving,
+    SURVEY.md §5.7). Every (size, batch) pair becomes one compiled
+    graph; all buckets share one weight copy in the artifact.
 
     platforms: lowering targets (default: the current backend). Multi-
     platform export (e.g. ("tpu", "cpu")) requires every op in the
@@ -91,8 +94,12 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
     from mydetection_tpu.registry import check_input_size
 
     cfg = det.cfg
-    size = int(input_size or cfg.input_size)
-    check_input_size(size)
+    if input_size is None:
+        input_size = cfg.input_size
+    sizes = sorted({int(s) for s in (
+        (input_size,) if isinstance(input_size, int) else input_size)})
+    for s in sizes:
+        check_input_size(s)
     if platforms is None:
         backend = jax.default_backend()
         # jax.export names GPU lowerings 'cuda'/'rocm', never 'gpu'
@@ -117,40 +124,48 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
     from jax import export as jexport
 
     waived: list[str] = []
-    blobs: dict[int, bytes] = {}
-    for b in batch_sizes:
-        if det._pack_input:
-            img_spec = jax.ShapeDtypeStruct(
-                (b, size // 2, size // 2, 12), jnp.uint8)
-        else:
-            img_spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
-        checks = [jexport.DisabledSafetyCheck.custom_call(t) for t in waived]
-        try:
-            exp = jexport.export(fn, platforms=platforms,
-                                 disabled_checks=checks)(
-                p_spec, img_spec, conf_spec)
-        except ValueError as e:
-            # Re-run waiving exactly the known TPU custom calls this
-            # pipeline emits (Pallas NMS, approx top-k). An unknown
-            # target in the message stays fatal. Waivers accumulate so
-            # later buckets export in one pass.
-            msg = str(e)
-            fresh = {t for t in _KNOWN_CUSTOM_CALLS if t in msg} - set(waived)
-            if not fresh:
-                raise
-            waived = sorted(set(waived) | fresh)
+    blobs: dict[tuple[int, int], bytes] = {}
+    for size in sizes:
+        for b in batch_sizes:
+            if det._pack_input:
+                img_spec = jax.ShapeDtypeStruct(
+                    (b, size // 2, size // 2, 12), jnp.uint8)
+            else:
+                img_spec = jax.ShapeDtypeStruct((b, size, size, 3),
+                                                jnp.uint8)
             checks = [jexport.DisabledSafetyCheck.custom_call(t)
                       for t in waived]
-            exp = jexport.export(fn, platforms=platforms,
-                                 disabled_checks=checks)(
-                p_spec, img_spec, conf_spec)
-        blobs[b] = exp.serialize()
+            try:
+                exp = jexport.export(fn, platforms=platforms,
+                                     disabled_checks=checks)(
+                    p_spec, img_spec, conf_spec)
+            except ValueError as e:
+                # Re-run waiving exactly the known TPU custom calls
+                # this pipeline emits (Pallas NMS, approx top-k). An
+                # unknown target in the message stays fatal. Waivers
+                # accumulate so later buckets export in one pass.
+                msg = str(e)
+                fresh = ({t for t in _KNOWN_CUSTOM_CALLS if t in msg}
+                         - set(waived))
+                if not fresh:
+                    raise
+                waived = sorted(set(waived) | fresh)
+                checks = [jexport.DisabledSafetyCheck.custom_call(t)
+                          for t in waived]
+                exp = jexport.export(fn, platforms=platforms,
+                                     disabled_checks=checks)(
+                    p_spec, img_spec, conf_spec)
+            blobs[(size, b)] = exp.serialize()
 
     meta = {
         "format": _FORMAT,
         "version": _VERSION,
         "model": cfg.name,
-        "input_size": size,
+        # default serving size: the model's configured size when
+        # exported, else the smallest bucket
+        "input_size": (cfg.input_size if cfg.input_size in sizes
+                       else sizes[0]),
+        "input_sizes": sizes,
         "batch_size": batch_sizes[-1],  # legacy single-bucket field
         "batch_sizes": batch_sizes,
         "rotated": bool(cfg.rotated),
@@ -169,8 +184,8 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
             for i, l in enumerate(jax.device_get(leaves))}
     flat["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    for b, blob in blobs.items():
-        flat[f"__mlir__{b}"] = np.frombuffer(blob, dtype=np.uint8)
+    for (size, b), blob in blobs.items():
+        flat[f"__mlir__{size}x{b}"] = np.frombuffer(blob, dtype=np.uint8)
     with open(path, "wb") as f:
         np.savez(f, **flat)
 
@@ -187,11 +202,24 @@ class ExportedDetector:
 
     meta: dict
     params: object
-    _calls: dict  # batch_size -> jitted exported.call
+    _calls: dict  # (input_size, batch_size) -> jitted exported.call
 
     @property
     def batch_sizes(self) -> list[int]:
-        return sorted(self._calls)
+        return sorted({b for _, b in self._calls})
+
+    @property
+    def input_sizes(self) -> list[int]:
+        return sorted({s for s, _ in self._calls})
+
+    def _resolve_size(self, input_size: int | None) -> int:
+        size = input_size or self.meta["input_size"]
+        if size not in self.input_sizes:
+            raise ValueError(
+                f"input_size={size} is not in this artifact's exported "
+                f"buckets {self.input_sizes} — re-export with "
+                f"input_size=(…, {size})")
+        return size
 
     @property
     def cfg(self):
@@ -208,10 +236,10 @@ class ExportedDetector:
             max_dets=m["max_dets"], class_names=m["class_names"])
 
     def warmup(self) -> None:
-        """Compile every exported bucket up front (the StableHLO still
-        goes through XLA's backend compile on first call)."""
-        for b in self.batch_sizes:
-            size = self.meta["input_size"]
+        """Compile every exported (size, batch) bucket up front (the
+        StableHLO still goes through XLA's backend compile on first
+        call)."""
+        for size, b in self._calls:
             self._run(np.zeros((b, size, size, 3), np.uint8),
                       self.meta["conf_thres"])
 
@@ -219,7 +247,8 @@ class ExportedDetector:
         if self.meta["pack_input"] and canvases.shape[-1] == 3:
             from mydetection_tpu.utils.image_ops import pack_s2d2
             canvases = pack_s2d2(np.asarray(canvases))
-        call = self._calls[canvases.shape[0]]
+        size = canvases.shape[1] * (2 if canvases.shape[-1] == 12 else 1)
+        call = self._calls[(size, canvases.shape[0])]
         out = call(self.params, jnp.asarray(canvases), jnp.float32(conf))
         return jax.device_get(out)
 
@@ -251,14 +280,15 @@ class ExportedDetector:
         return plan
 
     def detect_one(self, *, img_path=None, pil_img=None, np_img=None,
-                   conf_thres: float | None = None, visualize: bool = False,
+                   conf_thres: float | None = None,
+                   input_size: int | None = None, visualize: bool = False,
                    save_path: str | None = None):
         from mydetection_tpu.api import _load_image, strip_detections
         from mydetection_tpu.utils.image_ops import letterbox_pil
 
         img = _load_image(img_path, pil_img, np_img)
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
-        canvas, info = letterbox_pil(img, self.meta["input_size"])
+        canvas, info = letterbox_pil(img, self._resolve_size(input_size))
         bsz = self.batch_sizes[0]  # smallest bucket: lowest latency
         out = self._run(np.repeat(canvas[None], bsz, axis=0), conf)
         dets = strip_detections(out, 0, info, rotated=self.meta["rotated"])
@@ -274,13 +304,14 @@ class ExportedDetector:
                 dets.visualized = vis
         return dets
 
-    def detect_batch(self, images, *, conf_thres: float | None = None) -> list:
+    def detect_batch(self, images, *, conf_thres: float | None = None,
+                     input_size: int | None = None) -> list:
         from mydetection_tpu.api import _load_image, strip_detections
         from mydetection_tpu.utils.image_ops import letterbox_pil
         from PIL import Image
 
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
-        size = self.meta["input_size"]
+        size = self._resolve_size(input_size)
         canvases, infos = [], []
         for im in images:
             pil = _load_image(img_path=im) if isinstance(im, str) else _load_image(
@@ -319,7 +350,6 @@ class ExportedDetector:
                 f"nms_iou is static in an exported artifact (baked at "
                 f"{self.meta['nms_iou']}); re-export to change it")
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
-        size = self.meta["input_size"]
         packed = canvases.shape[-1] == 12
         if canvases.shape[-1] not in (3, 12):
             raise ValueError(
@@ -332,15 +362,16 @@ class ExportedDetector:
                 "exported without pack_input — stage unpacked "
                 "(B, S, S, 3) canvases (StreamingPipeline(pack_s2d2="
                 "False)) or re-export from a Detector(pack_input=True)")
-        want_hw = (size // 2, size // 2) if packed else (size, size)
-        if tuple(canvases.shape[1:3]) != want_hw:
+        size = canvases.shape[1] * (2 if packed else 1)
+        if (size not in self.input_sizes
+                or canvases.shape[1] != canvases.shape[2]):
             raise ValueError(
                 f"canvases are letterboxed to {tuple(canvases.shape[1:3])} "
-                f"but the artifact is baked at input_size={size} — "
-                f"re-letterbox or re-export")
+                f"but the artifact is baked at input_size(s) "
+                f"{self.input_sizes} — re-letterbox or re-export")
         rotated = self.meta["rotated"]
         n = len(infos)
-        if canvases.shape[0] in self._calls and (
+        if (size, canvases.shape[0]) in self._calls and (
                 packed or not self.meta["pack_input"]):
             # device fast path: the staged batch (real rows + the
             # pipeline's own padding) matches an exported bucket —
@@ -381,7 +412,11 @@ def load_exported(path: str) -> ExportedDetector:
         raise ValueError(
             f"artifact version {meta['version']} is newer than this "
             f"library supports ({_VERSION}) — upgrade mydetection_tpu")
-    blobs = {int(k[len("__mlir__"):]): bytes(v) for k, v in flat.items()
+    def _bucket(key: str) -> tuple[int, int]:
+        size, b = key[len("__mlir__"):].split("x")
+        return int(size), int(b)
+
+    blobs = {_bucket(k): bytes(v) for k, v in flat.items()
              if k.startswith("__mlir__")}
     prefix = f"params{SEP}"
     # param leaves are stored by zero-padded flat index (jax tree order);
@@ -423,8 +458,9 @@ def main() -> None:
     ap.add_argument("--batch-size", default="1",
                     help="batch bucket(s), comma-separated — e.g. 1,32 "
                          "for a latency bucket next to a throughput one")
-    ap.add_argument("--input-size", type=int, default=None,
-                    help="square input bucket (default: model config)")
+    ap.add_argument("--input-size", default=None,
+                    help="square input bucket(s), comma-separated — "
+                         "e.g. 416,608 (default: model config)")
     ap.add_argument("--num-classes", type=int, default=None)
     ap.add_argument("--oracle-nms", action="store_true",
                     help="lower the pure-XLA NMS instead of the Pallas "
@@ -437,8 +473,10 @@ def main() -> None:
     overrides = {}
     if args.num_classes is not None:
         overrides["num_classes"] = args.num_classes
+    sizes = None
     if args.input_size is not None:
-        overrides["input_size"] = args.input_size
+        sizes = [int(x) for x in str(args.input_size).split(",")]
+        overrides["input_size"] = sizes[0]
     det = Detector(model_name=args.model, weights_path=args.weights,
                    quantized=args.quantized or False,
                    use_pallas=False if args.oracle_nms else None, **overrides)
@@ -446,10 +484,10 @@ def main() -> None:
     export_detector(det, args.out,
                     batch_size=[int(x) for x in
                                 str(args.batch_size).split(",")],
-                    input_size=args.input_size, platforms=platforms)
+                    input_size=sizes, platforms=platforms)
     meta = load_exported(args.out).meta
     print(json.dumps({"out": args.out, **{k: meta[k] for k in (
-        "model", "input_size", "batch_sizes", "platforms", "quantized",
+        "model", "input_sizes", "batch_sizes", "platforms", "quantized",
         "waived_custom_call_checks")}}))
 
 

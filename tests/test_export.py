@@ -132,15 +132,32 @@ def test_chunk_plan_avoids_tiny_call_storms():
     call, not 31 batch-1 dispatches."""
     from mydetection_tpu.export import ExportedDetector
 
-    ed = ExportedDetector(meta={}, params=None, _calls={1: None, 32: None})
+    ed = ExportedDetector(meta={}, params=None,
+                          _calls={(416, 1): None, (416, 32): None})
     assert ed._chunks(31) == [(31, 32)]
     assert ed._chunks(16) == [(16, 32)]
     assert ed._chunks(33) == [(32, 32), (1, 1)]
     assert ed._chunks(64) == [(32, 32), (32, 32)]
     assert ed._chunks(2) == [(1, 1), (1, 1)]  # tiny tails stay small
-    only4 = ExportedDetector(meta={}, params=None, _calls={4: None})
+    only4 = ExportedDetector(meta={}, params=None, _calls={(416, 4): None})
     assert only4._chunks(3) == [(3, 4)]
     assert only4._chunks(9) == [(4, 4), (4, 4), (1, 4)]
+
+
+def test_multi_size_buckets(det, tmp_path):
+    """One artifact carrying (96, 128) sizes serves detect_one at
+    either size and rejects a size that was not exported."""
+    path = str(tmp_path / "sizes.mydet")
+    export_detector(det, path, batch_size=1, input_size=(96, 128))
+    served = load_exported(path)
+    assert served.input_sizes == [96, 128]
+    assert served.meta["input_size"] == 128  # the Detector's config size
+    for s in (96, 128):
+        want = det.detect_one(np_img=IMG, conf_thres=0.3, input_size=s)
+        got = served.detect_one(np_img=IMG, conf_thres=0.3, input_size=s)
+        _assert_same(want, got)
+    with pytest.raises(ValueError, match="not in this artifact"):
+        served.detect_one(np_img=IMG, input_size=160)
 
 
 def test_detect_prepared_guards(det, artifact):
@@ -157,7 +174,7 @@ def test_detect_prepared_guards(det, artifact):
         served.detect_prepared(np.zeros((1, 128, 128, 4), np.uint8), [info])
     with pytest.raises(ValueError, match="exported without pack_input"):
         served.detect_prepared(np.zeros((1, 64, 64, 12), np.uint8), [info])
-    with pytest.raises(ValueError, match="input_size=128"):
+    with pytest.raises(ValueError, match=r"input_size\(s\) \[128\]"):
         served.detect_prepared(np.zeros((1, 96, 96, 3), np.uint8), [info])
     # bucket-matched batch runs as-is (fast path), padding rows ignored
     batch = np.stack([cv, np.zeros_like(cv)])
