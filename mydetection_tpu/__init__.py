@@ -31,10 +31,15 @@ def __getattr__(name):
         from mydetection_tpu import export as _export
 
         return getattr(_export, name)
+    if name == "DetectionServer":  # HTTP serving daemon (serve.py)
+        from mydetection_tpu.serve import DetectionServer
+
+        return DetectionServer
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 __all__ = [
+    "DetectionServer",
     "Detections",
     "Detector",
     "ExportedDetector",

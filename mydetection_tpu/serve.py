@@ -1,0 +1,462 @@
+"""Production HTTP serving daemon with dynamic micro-batching.
+
+The reference serves inference as a Python library call — every user
+builds their own loop around `Detector.detect_one` (myDetection api.py
+[recalled; SURVEY.md §2.1/§3.2]). On TPU the economics are different:
+a single request under-fills the MXU (batch 1 runs at 41-76 % of
+batch-32 per-image efficiency — README latency table), so a serving
+process wants to coalesce concurrent requests into one device dispatch.
+This module is that missing piece: a dependency-free HTTP daemon
+(stdlib `http.server`) in front of either serving backend —
+
+  - an AOT export artifact (`export.load_exported`) — the production
+    path: no model-building code, fixed (size × batch) bucket grid;
+  - a live `Detector` (float or int8) — the development path: any
+    size, buckets compiled on warmup.
+
+Design (TPU-first):
+  - **Dynamic micro-batching.** Handler threads decode + letterbox on
+    host (the parallel part), then enqueue. ONE dispatcher thread owns
+    the device (the TPU client is not usefully concurrent — one graph
+    runs at a time) and groups compatible requests (same input size,
+    same conf_thres — conf is a traced scalar, one value per dispatch)
+    into the smallest covering batch bucket. A group dispatches as
+    soon as it fills the largest bucket, or when its oldest request
+    has waited `max_wait_ms` — the classic latency/occupancy knob.
+  - **Static shapes only.** Requests are padded to fixed buckets so
+    serving NEVER triggers an XLA recompile after warmup; arbitrary
+    request rates hit the same compiled graphs.
+  - **Observability.** `/stats` reports request/batch counters, mean
+    bucket occupancy, queue depth, and latency percentiles from a
+    bounded reservoir — the numbers needed to tune `max_wait_ms` and
+    the bucket set.
+
+Endpoints:
+  POST /detect?conf_thres=&input_size=   body: image bytes (JPEG/PNG/
+        anything PIL decodes). → JSON {n, columns, detections, ...}.
+        Rows follow `Detections.as_array()`: (x1,y1,x2,y2,score,cls)
+        or (cx,cy,w,h,deg,score) for rotated models, in ORIGINAL
+        image pixel coordinates.
+  GET  /healthz   → model / bucket metadata (also the readiness probe:
+        it only answers after warmup).
+  GET  /stats     → serving counters.
+
+CLI:
+  python -m mydetection_tpu.serve --artifact yolov3.mydet --port 8000
+  python -m mydetection_tpu.serve --model yolov3 --weights w.npz \
+      --batch-buckets 1,8,32 --max-wait-ms 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import dataclasses
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_LATENCY_WINDOW = 512  # recent requests kept for percentile stats
+
+
+@dataclasses.dataclass
+class _Pending:
+    """One letterboxed request waiting for a device slot."""
+
+    canvas: np.ndarray          # (S, S, 3) uint8
+    info: object                # LetterboxInfo
+    key: tuple                  # (input_size, conf) — batchable group
+    t_enqueue: float
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    result: object = None       # Detections on success
+    error: Exception | None = None
+
+
+class _Stats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.batches = 0
+        self.images = 0
+        self.padded_rows = 0
+        self.latencies = collections.deque(maxlen=_LATENCY_WINDOW)
+
+    def record_batch(self, n_real: int, bucket: int) -> None:
+        with self.lock:
+            self.batches += 1
+            self.images += n_real
+            self.padded_rows += bucket - n_real
+
+    def record_request(self, latency_s: float, ok: bool) -> None:
+        with self.lock:
+            self.requests += 1
+            if ok:
+                self.latencies.append(latency_s)
+            else:
+                self.errors += 1
+
+    def snapshot(self, queue_depth: int) -> dict:
+        with self.lock:
+            lats = sorted(self.latencies)
+            total_rows = self.images + self.padded_rows
+            return {
+                "requests": self.requests,
+                "errors": self.errors,
+                "batches": self.batches,
+                "images": self.images,
+                "mean_images_per_batch": (
+                    round(self.images / self.batches, 3) if self.batches else None),
+                "bucket_occupancy": (
+                    round(self.images / total_rows, 3) if total_rows else None),
+                "queue_depth": queue_depth,
+                "latency_ms": None if not lats else {
+                    "p50": round(1e3 * lats[len(lats) // 2], 2),
+                    "p99": round(1e3 * lats[min(len(lats) - 1,
+                                                int(len(lats) * 0.99))], 2),
+                    "max": round(1e3 * lats[-1], 2),
+                },
+            }
+
+
+class _Batcher(threading.Thread):
+    """Single consumer thread: groups compatible pending requests and
+    runs them through the backend's `detect_prepared`.
+
+    One thread by design — the TPU executes one graph at a time, and
+    the axon transport serializes clients anyway; a dispatcher pool
+    would only add lock traffic. Host-parallel work (decode, letterbox,
+    JSON) stays in the HTTP handler threads.
+    """
+
+    def __init__(self, backend, buckets: list[int], max_wait_s: float,
+                 stats: _Stats):
+        super().__init__(daemon=True, name="mydet-batcher")
+        self.backend = backend
+        self.buckets = sorted(buckets)
+        self.max_wait_s = max_wait_s
+        self.stats = stats
+        self.queue: collections.deque[_Pending] = collections.deque()
+        self.cond = threading.Condition()
+        self._stopping = False
+
+    def submit(self, p: _Pending) -> None:
+        with self.cond:
+            self.queue.append(p)
+            self.cond.notify()
+
+    def stop(self) -> None:
+        with self.cond:
+            self._stopping = True
+            self.cond.notify()
+        self.join(timeout=30)
+
+    def _covering_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def run(self) -> None:  # noqa: C901 — one explicit state machine
+        max_bucket = self.buckets[-1]
+        while True:
+            with self.cond:
+                while not self.queue and not self._stopping:
+                    self.cond.wait()
+                if self._stopping and not self.queue:
+                    return
+                head = self.queue[0]
+                # Linger until the head's group fills the largest
+                # bucket or the head has waited long enough. New
+                # arrivals notify; re-check each wakeup.
+                while not self._stopping:
+                    matching = sum(1 for p in self.queue if p.key == head.key)
+                    remaining = head.t_enqueue + self.max_wait_s - time.monotonic()
+                    if matching >= max_bucket or remaining <= 0:
+                        break
+                    self.cond.wait(timeout=remaining)
+                group, rest = [], collections.deque()
+                for p in self.queue:
+                    if p.key == head.key and len(group) < max_bucket:
+                        group.append(p)
+                    else:
+                        rest.append(p)
+                self.queue = rest
+            self._dispatch(group)
+
+    def _dispatch(self, group: list[_Pending]) -> None:
+        n = len(group)
+        bucket = self._covering_bucket(n)
+        try:
+            canvases = np.stack([p.canvas for p in group])
+            if n < bucket:  # pad to the compiled bucket — rows ignored
+                pad = np.repeat(canvases[-1:], bucket - n, axis=0)
+                canvases = np.concatenate([canvases, pad], axis=0)
+            _, conf = group[0].key
+            dets = self.backend.detect_prepared(
+                canvases, [p.info for p in group], conf_thres=conf)
+            self.stats.record_batch(n, bucket)
+            for p, d in zip(group, dets):
+                p.result = d
+                p.done.set()
+        except Exception as e:  # noqa: BLE001 — fail the whole group loudly
+            for p in group:
+                p.error = e
+                p.done.set()
+
+
+class DetectionServer:
+    """Ties a backend, a `_Batcher`, and the HTTP layer together.
+
+    backend: `Detector` or `export.ExportedDetector` — anything with
+    `detect_prepared(canvases, infos, conf_thres=…)`, a `cfg`, and the
+    bucket metadata this class derives in `from_*`.
+    """
+
+    def __init__(self, backend, *, input_sizes: list[int],
+                 batch_buckets: list[int], max_wait_ms: float = 4.0,
+                 request_timeout_s: float = 120.0,
+                 use_native: bool | None = None):
+        self.backend = backend
+        self.input_sizes = sorted(input_sizes)
+        self.batch_buckets = sorted(batch_buckets)
+        self.request_timeout_s = request_timeout_s
+        if use_native is None:  # auto: fused C++ JPEG decode+letterbox
+            from mydetection_tpu import native
+
+            use_native = native.available()
+        self.use_native = bool(use_native)
+        self.stats = _Stats()
+        self.batcher = _Batcher(backend, self.batch_buckets,
+                                max_wait_ms / 1e3, self.stats)
+        self._httpd: ThreadingHTTPServer | None = None
+        cfg = backend.cfg
+        self.meta = {
+            "model": cfg.name,
+            "rotated": bool(cfg.rotated),
+            "class_names": list(cfg.class_names or []),
+            "input_sizes": self.input_sizes,
+            "default_input_size": (cfg.input_size
+                                   if cfg.input_size in self.input_sizes
+                                   else self.input_sizes[-1]),
+            "batch_buckets": self.batch_buckets,
+            "default_conf_thres": float(cfg.conf_thres),
+            "columns": (["cx", "cy", "w", "h", "deg", "score"]
+                        if cfg.rotated else
+                        ["x1", "y1", "x2", "y2", "score", "cls"]),
+        }
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def from_artifact(cls, path: str, **kw) -> "DetectionServer":
+        from mydetection_tpu.export import load_exported
+
+        served = load_exported(path)
+        return cls(served, input_sizes=served.input_sizes,
+                   batch_buckets=served.batch_sizes, **kw)
+
+    @classmethod
+    def from_detector(cls, det, *, input_sizes: list[int] | None = None,
+                      batch_buckets: list[int] | None = None,
+                      **kw) -> "DetectionServer":
+        return cls(det,
+                   input_sizes=input_sizes or [det.cfg.input_size],
+                   batch_buckets=batch_buckets or [1, 8, 32], **kw)
+
+    # -- lifecycle ------------------------------------------------------
+
+    def warmup(self) -> None:
+        """Compile every (size, bucket) graph before accepting traffic —
+        a cold XLA compile (~20-40 s on TPU) inside a request would blow
+        every latency target and, worse, stall the whole batcher."""
+        for s in self.input_sizes:
+            for b in self.batch_buckets:
+                canvases = np.zeros((b, s, s, 3), np.uint8)
+                from mydetection_tpu.utils.image_ops import LetterboxInfo
+
+                info = LetterboxInfo(ori_w=s, ori_h=s, ratio=1.0,
+                                     pad_x=0.0, pad_y=0.0, input_size=s)
+                self.backend.detect_prepared(
+                    canvases, [info], conf_thres=self.meta["default_conf_thres"])
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000, *,
+              ready_event: threading.Event | None = None) -> None:
+        """Warm up, then block serving HTTP until `shutdown()`."""
+        self.warmup()
+        self.batcher.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self._httpd.server_address[1]  # resolves port=0
+        if ready_event is not None:
+            ready_event.set()
+        try:
+            self._httpd.serve_forever(poll_interval=0.1)
+        finally:
+            self.batcher.stop()
+
+    def shutdown(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+    # -- request path -----------------------------------------------------
+
+    def handle_detect(self, body: bytes, query: dict) -> dict:
+        t0 = time.monotonic()
+        try:
+            size = int(query.get("input_size", self.meta["default_input_size"]))
+        except ValueError as e:
+            raise _BadRequest(f"bad input_size: {e}") from e
+        if size not in self.input_sizes:
+            raise _BadRequest(
+                f"input_size={size} not served (buckets: {self.input_sizes})")
+        try:
+            conf = float(query.get("conf_thres",
+                                   self.meta["default_conf_thres"]))
+        except ValueError as e:
+            raise _BadRequest(f"bad conf_thres: {e}") from e
+        canvas = info = None
+        if self.use_native and body[:2] == b"\xff\xd8":  # JPEG magic
+            # fused C++ decode + DCT-prescale + letterbox (GIL-free —
+            # handler threads get true decode parallelism); non-JPEG
+            # bodies and decode failures fall back to PIL below
+            from mydetection_tpu import native
+
+            try:
+                canvas, info = native.decode_letterbox_jpeg(body, size)
+            except (ValueError, RuntimeError):
+                canvas = info = None
+        if canvas is None:
+            from PIL import Image
+
+            from mydetection_tpu.utils.image_ops import letterbox_pil
+
+            try:
+                img = Image.open(io.BytesIO(body))
+                img.load()
+            except Exception as e:
+                raise _BadRequest(
+                    f"body is not a decodable image: {e}") from e
+            canvas, info = letterbox_pil(img, size)
+        p = _Pending(canvas=canvas, info=info, key=(size, conf),
+                     t_enqueue=time.monotonic())
+        self.batcher.submit(p)
+        if not p.done.wait(self.request_timeout_s):
+            self.stats.record_request(time.monotonic() - t0, ok=False)
+            raise _ServerError("detect timed out in the batching queue")
+        if p.error is not None:
+            self.stats.record_request(time.monotonic() - t0, ok=False)
+            raise _ServerError(f"detect failed: {p.error}")
+        dt = time.monotonic() - t0
+        self.stats.record_request(dt, ok=True)
+        dets = p.result
+        return {
+            "n": len(dets),
+            "columns": self.meta["columns"],
+            "detections": [[round(float(v), 4) for v in row]
+                           for row in dets.as_array()],
+            "latency_ms": round(dt * 1e3, 2),
+        }
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+class _ServerError(RuntimeError):
+    pass
+
+
+def _make_handler(server: DetectionServer):
+    class Handler(BaseHTTPRequestHandler):
+        # one compiled server per process; quiet access log by default
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"ok": True, **server.meta})
+            elif path == "/stats":
+                with server.batcher.cond:
+                    depth = len(server.batcher.queue)
+                self._json(200, server.stats.snapshot(depth))
+            else:
+                self._json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            if parsed.path != "/detect":
+                self._json(404, {"error": f"no route {parsed.path}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body — POST image bytes"})
+                return
+            body = self.rfile.read(length)
+            query = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
+            try:
+                self._json(200, server.handle_detect(body, query))
+            except _BadRequest as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="HTTP detection server with dynamic micro-batching")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--artifact", help="AOT export artifact (.mydet)")
+    src.add_argument("--model", help="live model name (registry)")
+    ap.add_argument("--weights", default=None, help="weights for --model")
+    ap.add_argument("--quantized", default=None,
+                    help="int8 artifact path for --model (quant.py)")
+    ap.add_argument("--input-size", default=None,
+                    help="size bucket(s) for --model, comma-separated")
+    ap.add_argument("--batch-buckets", default="1,8,32",
+                    help="batch buckets for --model (artifact brings its own)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-wait-ms", type=float, default=4.0,
+                    help="max time a request lingers for batch-mates")
+    args = ap.parse_args()
+
+    if args.artifact:
+        server = DetectionServer.from_artifact(
+            args.artifact, max_wait_ms=args.max_wait_ms)
+    else:
+        from mydetection_tpu.api import Detector
+
+        sizes = ([int(x) for x in args.input_size.split(",")]
+                 if args.input_size else None)
+        overrides = {"input_size": sizes[0]} if sizes else {}
+        det = Detector(model_name=args.model, weights_path=args.weights,
+                       quantized=args.quantized or False, **overrides)
+        server = DetectionServer.from_detector(
+            det, input_sizes=sizes,
+            batch_buckets=[int(x) for x in args.batch_buckets.split(",")],
+            max_wait_ms=args.max_wait_ms)
+    print(json.dumps({"serving": server.meta,
+                      "host": args.host, "port": args.port}), flush=True)
+    server.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+"""HTTP serving daemon: dynamic micro-batching + endpoint contract.
+
+The server must return exactly what the library returns (same pipeline,
+same numbers), coalesce concurrent requests into shared device
+dispatches (static bucket shapes — no recompiles after warmup), and
+fail bad requests with readable 4xx JSON, not stack traces.
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from mydetection_tpu import Detector
+from mydetection_tpu.serve import DetectionServer, _Batcher, _Pending, _Stats
+
+RNG = np.random.RandomState(11)
+IMG = RNG.randint(0, 255, (90, 130, 3), np.uint8)
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def det():
+    return Detector(model_name="yolov3", input_size=128, num_classes=3,
+                    compute_dtype=jnp.float32, use_pallas=False,
+                    pre_nms=64, max_dets=10)
+
+
+@pytest.fixture(scope="module")
+def server(det):
+    srv = DetectionServer.from_detector(det, batch_buckets=[1, 2],
+                                        max_wait_ms=30.0)
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve,
+                         kwargs={"port": 0, "ready_event": ready},
+                         daemon=True)
+    t.start()
+    assert ready.wait(300), "server failed to warm up"
+    yield srv
+    srv.shutdown()
+    t.join(timeout=30)
+
+
+@pytest.fixture(scope="module")
+def base(server):
+    return f"http://127.0.0.1:{server.port}"
+
+
+def test_healthz(base, det):
+    h = _get(base + "/healthz")
+    assert h["ok"] is True
+    assert h["model"] == "yolov3"
+    assert h["input_sizes"] == [128]
+    assert h["batch_buckets"] == [1, 2]
+    assert h["columns"] == ["x1", "y1", "x2", "y2", "score", "cls"]
+    assert h["default_conf_thres"] == pytest.approx(det.cfg.conf_thres)
+
+
+def test_detect_matches_library(base, det):
+    got = _post(base + "/detect?conf_thres=0.3", _png_bytes(IMG))
+    want = det.detect_one(np_img=IMG, conf_thres=0.3).as_array()
+    assert got["n"] == len(want) > 0
+    assert got["columns"][:4] == ["x1", "y1", "x2", "y2"]
+    np.testing.assert_allclose(np.asarray(got["detections"]), want,
+                               rtol=1e-4, atol=1e-3)
+    assert got["latency_ms"] > 0
+
+
+def test_conf_thres_query_respected(base, det):
+    lo = _post(base + "/detect?conf_thres=0.05", _png_bytes(IMG))
+    hi = _post(base + "/detect?conf_thres=0.9", _png_bytes(IMG))
+    assert lo["n"] == len(det.detect_one(np_img=IMG, conf_thres=0.05))
+    assert hi["n"] == len(det.detect_one(np_img=IMG, conf_thres=0.9))
+    assert lo["n"] >= hi["n"]
+
+
+def test_concurrent_requests_all_served(base, det):
+    results, errs = [None] * 4, []
+
+    def hit(i):
+        try:
+            results[i] = _post(base + "/detect?conf_thres=0.3",
+                               _png_bytes(IMG))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    want = det.detect_one(np_img=IMG, conf_thres=0.3).as_array()
+    for r in results:
+        np.testing.assert_allclose(np.asarray(r["detections"]), want,
+                                   rtol=1e-4, atol=1e-3)
+    stats = _get(base + "/stats")
+    assert stats["images"] >= 4
+    assert stats["batches"] <= stats["requests"]
+    assert stats["latency_ms"]["p50"] > 0
+
+
+def test_bad_requests_are_4xx(base):
+    for url, body in [
+        (base + "/detect", b"this is not an image"),
+        (base + "/detect?conf_thres=nan-ish-garbage", _png_bytes(IMG)),
+        (base + "/detect?input_size=999", _png_bytes(IMG)),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, body)
+        assert e.value.code == 400
+        assert "error" in json.loads(e.value.read())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/nope", _png_bytes(IMG))
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/nope")
+    assert e.value.code == 404
+
+
+def test_empty_body_is_400(base):
+    req = urllib.request.Request(base + "/detect", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
+def test_native_jpeg_decode_path(base, server, det):
+    """JPEG bodies route through the fused C++ decode+letterbox; the
+    response must equal the library run on the SAME native canvas."""
+    from mydetection_tpu import native
+
+    if not native.available():
+        pytest.skip(f"native imagepipe unavailable: {native.build_error()}")
+    assert server.use_native  # auto-detected at construction
+    buf = io.BytesIO()
+    Image.fromarray(IMG).save(buf, format="JPEG", quality=95)
+    jpeg = buf.getvalue()
+    got = _post(base + "/detect?conf_thres=0.3", jpeg)
+    canvas, info = native.decode_letterbox_jpeg(jpeg, 128)
+    want = det.detect_prepared(canvas[None], [info],
+                               conf_thres=0.3)[0].as_array()
+    np.testing.assert_allclose(np.asarray(got["detections"]), want,
+                               rtol=1e-4, atol=1e-3)
+
+
+# -- batcher unit tests (deterministic, no HTTP / no model) -------------
+
+
+class _FakeBackend:
+    """Records dispatch shapes; returns one sentinel per real row."""
+
+    def __init__(self):
+        self.calls = []
+
+    def detect_prepared(self, canvases, infos, *, conf_thres):
+        self.calls.append((canvases.shape[0], len(infos), conf_thres))
+        return [f"det{i}" for i in range(len(infos))]
+
+
+def _pending(key):
+    return _Pending(canvas=np.zeros((8, 8, 3), np.uint8), info=None,
+                    key=key, t_enqueue=time.monotonic())
+
+
+def test_batcher_coalesces_same_key():
+    backend, stats = _FakeBackend(), _Stats()
+    b = _Batcher(backend, [1, 4], max_wait_s=0.5, stats=stats)
+    pend = [_pending((128, 0.3)) for _ in range(4)]
+    for p in pend:
+        b.submit(p)
+    b.start()
+    for p in pend:
+        assert p.done.wait(10)
+    b.stop()
+    # 4 matching requests, bucket 4 → exactly one dispatch, no padding
+    assert backend.calls == [(4, 4, 0.3)]
+    assert [p.result for p in pend] == ["det0", "det1", "det2", "det3"]
+    snap = stats.snapshot(0)
+    assert snap["batches"] == 1 and snap["images"] == 4
+    assert snap["bucket_occupancy"] == 1.0
+
+
+def test_batcher_pads_to_covering_bucket():
+    backend, stats = _FakeBackend(), _Stats()
+    b = _Batcher(backend, [1, 4], max_wait_s=0.02, stats=stats)
+    b.start()
+    pend = [_pending((128, 0.3)) for _ in range(3)]
+    for p in pend:
+        b.submit(p)
+    for p in pend:
+        assert p.done.wait(10)
+    b.stop()
+    # 3 requests inside one wait window → one padded bucket-4 call
+    assert backend.calls == [(4, 3, 0.3)]
+    assert stats.snapshot(0)["bucket_occupancy"] == 0.75
+
+
+def test_batcher_splits_incompatible_keys():
+    backend, stats = _FakeBackend(), _Stats()
+    b = _Batcher(backend, [1, 4], max_wait_s=0.02, stats=stats)
+    a1, a2 = _pending((128, 0.3)), _pending((128, 0.3))
+    c1 = _pending((128, 0.9))  # different conf: conf is traced per batch
+    for p in (a1, c1, a2):
+        b.submit(p)
+    b.start()
+    for p in (a1, a2, c1):
+        assert p.done.wait(10)
+    b.stop()
+    assert len(backend.calls) == 2
+    confs = sorted(c for _, _, c in backend.calls)
+    assert confs == [0.3, 0.9]
+    # same-key requests shared one dispatch (padded to the covering
+    # bucket 4) despite the interloper; the odd conf went alone
+    assert (4, 2, 0.3) in backend.calls and (1, 1, 0.9) in backend.calls
+
+
+def test_batcher_error_fails_whole_group():
+    class _Boom:
+        def detect_prepared(self, canvases, infos, *, conf_thres):
+            raise RuntimeError("kaboom")
+
+    b = _Batcher(_Boom(), [1, 2], max_wait_s=0.01, stats=_Stats())
+    p1, p2 = _pending((128, 0.3)), _pending((128, 0.3))
+    b.submit(p1)
+    b.submit(p2)
+    b.start()
+    assert p1.done.wait(10) and p2.done.wait(10)
+    b.stop()
+    assert "kaboom" in str(p1.error) and "kaboom" in str(p2.error)
+    assert p1.result is None
+
+
+def test_artifact_backend_roundtrip(det, tmp_path):
+    """The production path: serve straight from an AOT export artifact;
+    responses must match the live library bit-for-bit (same graph)."""
+    from mydetection_tpu.export import export_detector
+
+    path = str(tmp_path / "srv.mydet")
+    export_detector(det, path, batch_size=(1, 2))
+    srv = DetectionServer.from_artifact(path, max_wait_ms=5.0)
+    assert srv.batch_buckets == [1, 2]
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve,
+                         kwargs={"port": 0, "ready_event": ready},
+                         daemon=True)
+    t.start()
+    assert ready.wait(300)
+    try:
+        got = _post(f"http://127.0.0.1:{srv.port}/detect?conf_thres=0.3",
+                    _png_bytes(IMG))
+        want = det.detect_one(np_img=IMG, conf_thres=0.3).as_array()
+        np.testing.assert_allclose(np.asarray(got["detections"]), want,
+                                   rtol=1e-4, atol=1e-3)
+        health = _get(f"http://127.0.0.1:{srv.port}/healthz")
+        assert health["model"] == "yolov3"
+    finally:
+        srv.shutdown()
+        t.join(timeout=30)
