@@ -42,7 +42,11 @@ import numpy as np
 from mydetection_tpu.checkpoint import SEP
 
 _FORMAT = "mydetection-tpu-export"
-_VERSION = 1
+# 2: (size × batch) bucket grid — blob keys became __mlir__<size>x<b>.
+# Version-1 single-size artifacts (__mlir__<b>) still load (the size
+# comes from meta["input_size"]); a v1 LIBRARY given a v2 artifact
+# fails with the readable upgrade message below.
+_VERSION = 2
 # Custom-call targets this pipeline can legitimately emit on TPU.
 # Anything else failing the stability check is a real error.
 _KNOWN_CUSTOM_CALLS = ("tpu_custom_call", "ApproxTopK", "PartialReduce",
@@ -350,12 +354,21 @@ class ExportedDetector:
                 f"nms_iou is static in an exported artifact (baked at "
                 f"{self.meta['nms_iou']}); re-export to change it")
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
-        packed = canvases.shape[-1] == 12
         if canvases.shape[-1] not in (3, 12):
             raise ValueError(
                 f"detect_prepared expects (B, S, S, 3) RGB or "
                 f"(B, S/2, S/2, 12) S2D-2 packed canvases, got shape "
                 f"{tuple(canvases.shape)}")
+        if self.meta["pack_input"] and canvases.shape[-1] == 3:
+            # pack up front (mirroring Detector.detect_prepared) so the
+            # bucket fast path below sees the layout the graphs want —
+            # otherwise a bucket-matched batch would fall to the
+            # _chunks re-plan and warmup would never touch the big
+            # buckets
+            from mydetection_tpu.utils.image_ops import pack_s2d2
+
+            canvases = pack_s2d2(np.asarray(canvases))
+        packed = canvases.shape[-1] == 12
         if packed and not self.meta["pack_input"]:
             raise ValueError(
                 "S2D-2 packed canvases staged against an artifact "
@@ -413,7 +426,12 @@ def load_exported(path: str) -> ExportedDetector:
             f"artifact version {meta['version']} is newer than this "
             f"library supports ({_VERSION}) — upgrade mydetection_tpu")
     def _bucket(key: str) -> tuple[int, int]:
-        size, b = key[len("__mlir__"):].split("x")
+        tail = key[len("__mlir__"):]
+        if "x" not in tail:
+            # version-1 single-size artifact: keys were __mlir__<batch>
+            # with the size only in meta
+            return int(meta["input_size"]), int(tail)
+        size, b = tail.split("x")
         return int(size), int(b)
 
     blobs = {_bucket(k): bytes(v) for k, v in flat.items()

@@ -135,20 +135,38 @@ class _Batcher(threading.Thread):
     """
 
     def __init__(self, backend, buckets: list[int], max_wait_s: float,
-                 stats: _Stats):
+                 stats: _Stats, max_queue: int = 256):
         super().__init__(daemon=True, name="mydet-batcher")
         self.backend = backend
         self.buckets = sorted(buckets)
         self.max_wait_s = max_wait_s
         self.stats = stats
+        self.max_queue = max_queue
         self.queue: collections.deque[_Pending] = collections.deque()
         self.cond = threading.Condition()
         self._stopping = False
 
     def submit(self, p: _Pending) -> None:
+        """Enqueue or shed: a bounded queue turns overload into fast
+        503s instead of an ever-growing canvas backlog (each entry
+        holds an (S, S, 3) buffer) and ever-later timeouts."""
         with self.cond:
+            if len(self.queue) >= self.max_queue:
+                raise _TooBusy(
+                    f"serving queue full ({self.max_queue} pending) — "
+                    "retry with backoff")
             self.queue.append(p)
             self.cond.notify()
+
+    def cancel(self, p: _Pending) -> bool:
+        """Drop an abandoned request if it has not been dispatched yet,
+        so timed-out work doesn't still burn device time."""
+        with self.cond:
+            try:
+                self.queue.remove(p)
+                return True
+            except ValueError:  # already collected into a dispatch
+                return False
 
     def stop(self) -> None:
         with self.cond:
@@ -221,11 +239,13 @@ class DetectionServer:
     def __init__(self, backend, *, input_sizes: list[int],
                  batch_buckets: list[int], max_wait_ms: float = 4.0,
                  request_timeout_s: float = 120.0,
+                 max_queue: int = 256, max_body_bytes: int = 32 << 20,
                  use_native: bool | None = None):
         self.backend = backend
         self.input_sizes = sorted(input_sizes)
         self.batch_buckets = sorted(batch_buckets)
         self.request_timeout_s = request_timeout_s
+        self.max_body_bytes = max_body_bytes
         if use_native is None:  # auto: fused C++ JPEG decode+letterbox
             from mydetection_tpu import native
 
@@ -233,7 +253,8 @@ class DetectionServer:
         self.use_native = bool(use_native)
         self.stats = _Stats()
         self.batcher = _Batcher(backend, self.batch_buckets,
-                                max_wait_ms / 1e3, self.stats)
+                                max_wait_ms / 1e3, self.stats,
+                                max_queue=max_queue)
         self._httpd: ThreadingHTTPServer | None = None
         cfg = backend.cfg
         self.meta = {
@@ -275,6 +296,13 @@ class DetectionServer:
         """Compile every (size, bucket) graph before accepting traffic —
         a cold XLA compile (~20-40 s on TPU) inside a request would blow
         every latency target and, worse, stall the whole batcher."""
+        from mydetection_tpu.export import ExportedDetector
+
+        if isinstance(self.backend, ExportedDetector):
+            # warms every exported (size, batch) bucket in the layout
+            # the graphs were lowered for (incl. pack_input artifacts)
+            self.backend.warmup()
+            return
         for s in self.input_sizes:
             for b in self.batch_buckets:
                 canvases = np.zeros((b, s, s, 3), np.uint8)
@@ -346,8 +374,16 @@ class DetectionServer:
             canvas, info = letterbox_pil(img, size)
         p = _Pending(canvas=canvas, info=info, key=(size, conf),
                      t_enqueue=time.monotonic())
-        self.batcher.submit(p)
+        try:
+            self.batcher.submit(p)
+        except _TooBusy:
+            self.stats.record_request(time.monotonic() - t0, ok=False)
+            raise
         if not p.done.wait(self.request_timeout_s):
+            # shed the abandoned work if it hasn't been collected into
+            # a dispatch yet — an overloaded server must stop burning
+            # device time on answers nobody will read
+            self.batcher.cancel(p)
             self.stats.record_request(time.monotonic() - t0, ok=False)
             raise _ServerError("detect timed out in the batching queue")
         if p.error is not None:
@@ -366,6 +402,10 @@ class DetectionServer:
 
 
 class _BadRequest(ValueError):
+    pass
+
+
+class _TooBusy(RuntimeError):
     pass
 
 
@@ -403,9 +443,18 @@ def _make_handler(server: DetectionServer):
             if parsed.path != "/detect":
                 self._json(404, {"error": f"no route {parsed.path}"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length header"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body — POST image bytes"})
+                return
+            if length > server.max_body_bytes:
+                self._json(413, {"error": (
+                    f"body of {length} bytes exceeds the "
+                    f"{server.max_body_bytes}-byte limit")})
                 return
             body = self.rfile.read(length)
             query = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
@@ -413,6 +462,8 @@ def _make_handler(server: DetectionServer):
                 self._json(200, server.handle_detect(body, query))
             except _BadRequest as e:
                 self._json(400, {"error": str(e)})
+            except _TooBusy as e:
+                self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — report, don't crash
                 self._json(500, {"error": str(e)})
 
@@ -430,8 +481,9 @@ def main() -> None:
                     help="int8 artifact path for --model (quant.py)")
     ap.add_argument("--input-size", default=None,
                     help="size bucket(s) for --model, comma-separated")
-    ap.add_argument("--batch-buckets", default="1,8,32",
-                    help="batch buckets for --model (artifact brings its own)")
+    ap.add_argument("--batch-buckets", default=None,
+                    help="batch buckets for --model (default 1,8,32; an "
+                         "artifact brings its own)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-wait-ms", type=float, default=4.0,
@@ -439,6 +491,16 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.artifact:
+        # fail loudly instead of silently serving the artifact's baked
+        # buckets while the operator believes these flags took effect
+        for flag, val in (("--weights", args.weights),
+                          ("--quantized", args.quantized),
+                          ("--input-size", args.input_size),
+                          ("--batch-buckets", args.batch_buckets)):
+            if val is not None:
+                ap.error(f"{flag} only applies to --model; an artifact's "
+                         f"buckets/weights are baked at export time "
+                         f"(re-export to change them)")
         server = DetectionServer.from_artifact(
             args.artifact, max_wait_ms=args.max_wait_ms)
     else:
@@ -451,7 +513,8 @@ def main() -> None:
                        quantized=args.quantized or False, **overrides)
         server = DetectionServer.from_detector(
             det, input_sizes=sizes,
-            batch_buckets=[int(x) for x in args.batch_buckets.split(",")],
+            batch_buckets=[int(x) for x in
+                           (args.batch_buckets or "1,8,32").split(",")],
             max_wait_ms=args.max_wait_ms)
     print(json.dumps({"serving": server.meta,
                       "host": args.host, "port": args.port}), flush=True)

@@ -160,6 +160,87 @@ def test_multi_size_buckets(det, tmp_path):
         served.detect_one(np_img=IMG, input_size=160)
 
 
+def test_legacy_v1_artifact_loads(det, artifact, tmp_path):
+    """Version-1 artifacts stored blobs as __mlir__<batch> with the
+    size only in meta; they must keep loading after the (size × batch)
+    key change, not die in a bare unpack error."""
+    import json as json_mod
+
+    with np.load(artifact, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = json_mod.loads(bytes(flat.pop("__meta__")).decode("utf-8"))
+    size = meta["input_size"]
+    meta["version"] = 1
+    meta.pop("input_sizes")  # v1 meta had no such key
+    legacy = {}
+    for k, v in flat.items():
+        if k.startswith("__mlir__"):
+            s, b = k[len("__mlir__"):].split("x")
+            assert int(s) == size
+            legacy[f"__mlir__{b}"] = v
+        else:
+            legacy[k] = v
+    legacy["__meta__"] = np.frombuffer(
+        json_mod.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    path = str(tmp_path / "legacy.mydet")
+    with open(path, "wb") as f:
+        np.savez(f, **legacy)
+    served = load_exported(path)
+    assert served.input_sizes == [size]
+    _assert_same(det.detect_one(np_img=IMG, conf_thres=0.3),
+                 served.detect_one(np_img=IMG, conf_thres=0.3))
+
+
+def test_future_version_rejected_readably(det, artifact, tmp_path):
+    import json as json_mod
+
+    with np.load(artifact, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = json_mod.loads(bytes(flat.pop("__meta__")).decode("utf-8"))
+    meta["version"] = 99
+    flat["__meta__"] = np.frombuffer(
+        json_mod.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    path = str(tmp_path / "future.mydet")
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+    with pytest.raises(ValueError, match="upgrade mydetection_tpu"):
+        load_exported(path)
+
+
+def test_pack_input_artifact_unpacked_canvases_fast_path(det, tmp_path):
+    """A pack_input artifact fed plain (B, S, S, 3) canvases must pack
+    up front and hit the bucket graph — bitwise-equal to the live
+    pack_input Detector, with no chunk re-plan."""
+    pdet = Detector(model_name="yolov3", input_size=128, num_classes=3,
+                    compute_dtype=jnp.float32, use_pallas=False,
+                    pre_nms=64, max_dets=10, pack_input=True,
+                    params=det.params)
+    path = str(tmp_path / "packed.mydet")
+    export_detector(pdet, path, batch_size=2)
+    served = load_exported(path)
+    assert served.meta["pack_input"] is True
+    from mydetection_tpu.utils.image_ops import letterbox_pil
+    from PIL import Image
+
+    canvases, infos = [], []
+    for im in IMGS[:2]:
+        c, i = letterbox_pil(Image.fromarray(im), 128)
+        canvases.append(c)
+        infos.append(i)
+    want = pdet.detect_prepared(np.stack(canvases), infos, conf_thres=0.3)
+    calls = {}
+
+    def spy(c, conf, _orig=served._run):
+        calls["shape"] = tuple(c.shape)
+        return _orig(c, conf)
+
+    served._run = spy
+    got = served.detect_prepared(np.stack(canvases), infos, conf_thres=0.3)
+    assert calls["shape"] == (2, 64, 64, 12)  # one packed bucket call
+    for w, g in zip(want, got):
+        _assert_same(w, g)
+
+
 def test_detect_prepared_guards(det, artifact):
     """Layout/size mistakes fail with readable errors, not deep
     StableHLO shape errors."""

@@ -167,6 +167,40 @@ def test_native_jpeg_decode_path(base, server, det):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_oversize_body_is_413_and_bad_length_is_400(base, server):
+    # 413: Content-Length over the cap is rejected before buffering
+    big = str(server.max_body_bytes + 1)
+    req = urllib.request.Request(base + "/detect", data=b"x",
+                                 headers={"Content-Length": big},
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+    # 400 (not a reset socket) on a malformed Content-Length header,
+    # via a raw socket — urllib refuses to send one
+    import http.client
+    import socket
+
+    with socket.create_connection(("127.0.0.1", server.port),
+                                  timeout=60) as s:
+        s.sendall(b"POST /detect HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: abc\r\n\r\n")
+        resp = http.client.HTTPResponse(s, method="POST")
+        resp.begin()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+
+
+def test_cli_rejects_model_flags_with_artifact(monkeypatch, capsys):
+    import mydetection_tpu.serve as serve_mod
+
+    monkeypatch.setattr("sys.argv", [
+        "serve", "--artifact", "x.mydet", "--batch-buckets", "1,64"])
+    with pytest.raises(SystemExit):
+        serve_mod.main()
+    assert "--batch-buckets only applies to --model" in capsys.readouterr().err
+
+
 # -- batcher unit tests (deterministic, no HTTP / no model) -------------
 
 
@@ -236,6 +270,27 @@ def test_batcher_splits_incompatible_keys():
     # same-key requests shared one dispatch (padded to the covering
     # bucket 4) despite the interloper; the odd conf went alone
     assert (4, 2, 0.3) in backend.calls and (1, 1, 0.9) in backend.calls
+
+
+def test_batcher_queue_cap_sheds():
+    from mydetection_tpu.serve import _TooBusy
+
+    b = _Batcher(_FakeBackend(), [1, 4], max_wait_s=1.0, stats=_Stats(),
+                 max_queue=2)
+    b.submit(_pending((128, 0.3)))
+    b.submit(_pending((128, 0.3)))
+    with pytest.raises(_TooBusy, match="queue full"):
+        b.submit(_pending((128, 0.3)))
+
+
+def test_batcher_cancel_removes_undispatched():
+    b = _Batcher(_FakeBackend(), [1, 4], max_wait_s=1.0, stats=_Stats())
+    p1, p2 = _pending((128, 0.3)), _pending((128, 0.3))
+    b.submit(p1)
+    b.submit(p2)
+    assert b.cancel(p1) is True
+    assert list(b.queue) == [p2]
+    assert b.cancel(p1) is False  # already gone: report, don't raise
 
 
 def test_batcher_error_fails_whole_group():
