@@ -1,0 +1,139 @@
+"""Load benchmark for the HTTP serving daemon (mydetection_tpu.serve).
+
+Hammers a live in-process DetectionServer with concurrent keep-alive
+clients posting one pre-encoded JPEG, and reports achieved end-to-end
+throughput plus the server's own /stats (bucket occupancy, latency
+percentiles). This measures the WHOLE serving stack — HTTP parse,
+JPEG decode + letterbox in handler threads, micro-batch coalescing,
+device dispatch, JSON response — unlike bench.py, which measures the
+device pipeline alone.
+
+Expectation setting: on this repo's 1-core CI host the number is
+host-bound (HTTP + decode + JSON all contend with the dispatcher on
+one core), exactly like the streaming harness — the value here is (a)
+proving the daemon sustains concurrent load without errors and (b)
+the occupancy/latency numbers that show micro-batching engaging. On a
+multi-core serving host the handler threads scale and the device
+becomes the limit.
+
+Usage (TPU):
+    PYTHONPATH=/root/repo python benchmarks/serve_bench.py \
+        --model yolov3 --clients 16 --seconds 15
+Writes one JSON line; appends to benchmarks/serve_bench.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+
+def run(model: str, input_size: int | None, buckets: list[int],
+        clients: int, seconds: float, max_wait_ms: float) -> dict:
+    from PIL import Image
+
+    from mydetection_tpu import Detector
+    from mydetection_tpu.serve import DetectionServer
+
+    overrides = {"input_size": input_size} if input_size else {}
+    det = Detector(model_name=model, **overrides)
+    size = det.cfg.input_size
+    server = DetectionServer.from_detector(det, batch_buckets=buckets,
+                                           max_wait_ms=max_wait_ms)
+    ready = threading.Event()
+    t = threading.Thread(target=server.serve,
+                         kwargs={"port": 0, "ready_event": ready},
+                         daemon=True)
+    t.start()
+    if not ready.wait(900):
+        raise RuntimeError("server warmup did not finish")
+    base = f"http://127.0.0.1:{server.port}"
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (size * 3 // 4, size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    jpeg = buf.getvalue()
+
+    done = 0
+    errors = 0
+    lock = threading.Lock()
+    deadline = time.monotonic() + seconds
+    start_gate = threading.Barrier(clients + 1)
+
+    def client():
+        nonlocal done, errors
+        start_gate.wait()
+        while time.monotonic() < deadline:
+            try:
+                req = urllib.request.Request(
+                    base + "/detect?conf_thres=0.3", data=jpeg,
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    json.loads(r.read())
+                with lock:
+                    done += 1
+            except Exception:  # noqa: BLE001 — counted, not fatal
+                with lock:
+                    errors += 1
+
+    threads = [threading.Thread(target=client, daemon=True)
+               for _ in range(clients)]
+    for th in threads:
+        th.start()
+    start_gate.wait()
+    t0 = time.monotonic()
+    for th in threads:
+        th.join(timeout=seconds + 180)
+    dt = time.monotonic() - t0
+    with urllib.request.urlopen(base + "/stats", timeout=60) as r:
+        stats = json.loads(r.read())
+    server.shutdown()
+
+    import jax
+
+    return {
+        "model": model,
+        "input_size": size,
+        "backend": jax.default_backend(),
+        "clients": clients,
+        "batch_buckets": buckets,
+        "max_wait_ms": max_wait_ms,
+        "seconds": round(dt, 2),
+        "served": done,
+        "errors": errors,
+        "images_per_sec_e2e": round(done / dt, 2),
+        "stats": stats,
+        "note": ("end-to-end through HTTP+decode on this host; "
+                 "host-bound on 1-core hosts — see module docstring"),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov3")
+    ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--batch-buckets", default="1,8,32")
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=15.0)
+    ap.add_argument("--max-wait-ms", type=float, default=4.0)
+    args = ap.parse_args()
+    row = run(args.model, args.input_size,
+              [int(x) for x in args.batch_buckets.split(",")],
+              args.clients, args.seconds, args.max_wait_ms)
+    print(json.dumps(row), flush=True)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "serve_bench.json")
+    with open(out, "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
