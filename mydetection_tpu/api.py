@@ -108,6 +108,33 @@ def _load_image(img_path=None, pil_img=None, np_img=None) -> Image.Image:
     raise ValueError("provide one of img_path / pil_img / np_img")
 
 
+def load_image_any(im) -> Image.Image:
+    """Batch-surface input dispatch: path / PIL / ndarray → PIL.
+    Shared by `Detector.detect_batch` and the exported artifact's
+    same-named method so a new input type lands in both."""
+    if isinstance(im, str):
+        return _load_image(img_path=im)
+    return _load_image(
+        pil_img=im if isinstance(im, Image.Image) else None,
+        np_img=im if isinstance(im, np.ndarray) else None)
+
+
+def finalize_visualize(dets: "Detections", img: Image.Image, class_names,
+                       visualize: bool, save_path: str | None) -> "Detections":
+    """Render/save the detections over the original image when asked —
+    the shared tail of `detect_one` (live and exported)."""
+    if visualize or save_path:
+        from mydetection_tpu.utils.visualization import draw_detections
+
+        vis = draw_detections(np.asarray(img.convert("RGB")), dets,
+                              class_names=class_names)
+        if save_path:
+            Image.fromarray(vis).save(save_path)
+        if visualize:
+            dets.visualized = vis
+    return dets
+
+
 def strip_detections(out: dict, i: int, info: LetterboxInfo, *,
                      rotated: bool) -> Detections:
     """Strip padded device output row `i` to a host `Detections` in
@@ -456,15 +483,8 @@ class Detector:
         canvas, info = letterbox_pil(img, size)
         out = self._run_batch(canvas[None], conf, iou, size)
         dets = self._strip(out, 0, info)
-        if visualize or save_path:
-            from mydetection_tpu.utils.visualization import draw_detections
-            vis = draw_detections(np.asarray(img.convert("RGB")), dets,
-                                  class_names=self.cfg.class_names)
-            if save_path:
-                Image.fromarray(vis).save(save_path)
-            if visualize:
-                dets.visualized = vis
-        return dets
+        return finalize_visualize(dets, img, self.cfg.class_names,
+                                  visualize, save_path)
 
     def detect_batch(self, images: Iterable, *, conf_thres: float | None = None,
                      nms_iou: float | None = None,
@@ -482,10 +502,7 @@ class Detector:
         iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
         canvases, infos = [], []
         for im in images:
-            pil = _load_image(img_path=im) if isinstance(im, str) else _load_image(
-                pil_img=im if isinstance(im, Image.Image) else None,
-                np_img=im if isinstance(im, np.ndarray) else None)
-            canvas, info = letterbox_pil(pil, size)
+            canvas, info = letterbox_pil(load_image_any(im), size)
             canvases.append(canvas)
             infos.append(info)
         if not canvases:

@@ -102,6 +102,9 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
         input_size = cfg.input_size
     sizes = sorted({int(s) for s in (
         (input_size,) if isinstance(input_size, int) else input_size)})
+    if not sizes:
+        raise ValueError("input_size is an empty sequence — pass at "
+                         "least one square size (e.g. 416 or (416, 608))")
     for s in sizes:
         check_input_size(s)
     if platforms is None:
@@ -283,45 +286,46 @@ class ExportedDetector:
             rem -= b
         return plan
 
+    def _check_nms_iou(self, nms_iou: float | None) -> None:
+        """`nms_iou` is static under jit, so it is baked at export time;
+        accepting (and checking) the kwarg keeps drop-in parity with
+        `Detector`'s surfaces instead of a bare TypeError."""
+        if nms_iou is not None and abs(nms_iou - self.meta["nms_iou"]) > 1e-9:
+            raise ValueError(
+                f"nms_iou is static in an exported artifact (baked at "
+                f"{self.meta['nms_iou']}); re-export to change it")
+
     def detect_one(self, *, img_path=None, pil_img=None, np_img=None,
                    conf_thres: float | None = None,
+                   nms_iou: float | None = None,
                    input_size: int | None = None, visualize: bool = False,
                    save_path: str | None = None):
-        from mydetection_tpu.api import _load_image, strip_detections
+        from mydetection_tpu.api import (_load_image, finalize_visualize,
+                                         strip_detections)
         from mydetection_tpu.utils.image_ops import letterbox_pil
 
+        self._check_nms_iou(nms_iou)
         img = _load_image(img_path, pil_img, np_img)
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
         canvas, info = letterbox_pil(img, self._resolve_size(input_size))
         bsz = self.batch_sizes[0]  # smallest bucket: lowest latency
         out = self._run(np.repeat(canvas[None], bsz, axis=0), conf)
         dets = strip_detections(out, 0, info, rotated=self.meta["rotated"])
-        if visualize or save_path:
-            from PIL import Image
-
-            from mydetection_tpu.utils.visualization import draw_detections
-            vis = draw_detections(np.asarray(img.convert("RGB")), dets,
-                                  class_names=self.meta["class_names"])
-            if save_path:
-                Image.fromarray(vis).save(save_path)
-            if visualize:
-                dets.visualized = vis
-        return dets
+        return finalize_visualize(dets, img, self.meta["class_names"],
+                                  visualize, save_path)
 
     def detect_batch(self, images, *, conf_thres: float | None = None,
+                     nms_iou: float | None = None,
                      input_size: int | None = None) -> list:
-        from mydetection_tpu.api import _load_image, strip_detections
+        from mydetection_tpu.api import load_image_any, strip_detections
         from mydetection_tpu.utils.image_ops import letterbox_pil
-        from PIL import Image
 
+        self._check_nms_iou(nms_iou)
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
         size = self._resolve_size(input_size)
         canvases, infos = [], []
         for im in images:
-            pil = _load_image(img_path=im) if isinstance(im, str) else _load_image(
-                pil_img=im if isinstance(im, Image.Image) else None,
-                np_img=im if isinstance(im, np.ndarray) else None)
-            canvas, info = letterbox_pil(pil, size)
+            canvas, info = letterbox_pil(load_image_any(im), size)
             canvases.append(canvas)
             infos.append(info)
         dets, start = [], 0
@@ -349,10 +353,7 @@ class ExportedDetector:
         passing a different value is an error, not a silent ignore."""
         from mydetection_tpu.api import strip_detections
 
-        if nms_iou is not None and abs(nms_iou - self.meta["nms_iou"]) > 1e-9:
-            raise ValueError(
-                f"nms_iou is static in an exported artifact (baked at "
-                f"{self.meta['nms_iou']}); re-export to change it")
+        self._check_nms_iou(nms_iou)
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
         if canvases.shape[-1] not in (3, 12):
             raise ValueError(
@@ -384,8 +385,9 @@ class ExportedDetector:
                 f"{self.input_sizes} — re-letterbox or re-export")
         rotated = self.meta["rotated"]
         n = len(infos)
-        if (size, canvases.shape[0]) in self._calls and (
-                packed or not self.meta["pack_input"]):
+        # (layout is settled above: pack_input inputs are packed by
+        # now, so bucket membership is the only live condition)
+        if (size, canvases.shape[0]) in self._calls:
             # device fast path: the staged batch (real rows + the
             # pipeline's own padding) matches an exported bucket —
             # run it as-is, no host round-trip, strip the first n rows
@@ -427,8 +429,12 @@ def load_exported(path: str) -> ExportedDetector:
             f"library supports ({_VERSION}) — upgrade mydetection_tpu")
     def _bucket(key: str) -> tuple[int, int]:
         tail = key[len("__mlir__"):]
+        if not tail:
+            # the very first single-bucket format: one bare '__mlir__'
+            # blob, batch and size only in meta
+            return int(meta["input_size"]), int(meta["batch_size"])
         if "x" not in tail:
-            # version-1 single-size artifact: keys were __mlir__<batch>
+            # version-1 multi-batch artifact: keys were __mlir__<batch>
             # with the size only in meta
             return int(meta["input_size"]), int(tail)
         size, b = tail.split("x")

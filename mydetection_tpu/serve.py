@@ -205,7 +205,8 @@ class _Batcher(threading.Thread):
                     else:
                         rest.append(p)
                 self.queue = rest
-            self._dispatch(group)
+            if group:  # head may have been cancel()ed during the linger
+                self._dispatch(group)
 
     def _dispatch(self, group: list[_Pending]) -> None:
         n = len(group)
@@ -286,6 +287,10 @@ class DetectionServer:
     def from_detector(cls, det, *, input_sizes: list[int] | None = None,
                       batch_buckets: list[int] | None = None,
                       **kw) -> "DetectionServer":
+        from mydetection_tpu.registry import check_input_size
+
+        for s in input_sizes or ():  # readable error, not an XLA shape
+            check_input_size(s)      # mismatch deep inside warmup
         return cls(det,
                    input_sizes=input_sizes or [det.cfg.input_size],
                    batch_buckets=batch_buckets or [1, 8, 32], **kw)
@@ -438,6 +443,12 @@ def _make_handler(server: DetectionServer):
             else:
                 self._json(404, {"error": f"no route {path}"})
 
+        def _reject(self, code: int, msg: str) -> None:
+            # rejected requests still count in /stats — operators tune
+            # against TOTAL traffic, not just the well-formed slice
+            server.stats.record_request(0.0, ok=False)
+            self._json(code, {"error": msg})
+
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
             if parsed.path != "/detect":
@@ -446,24 +457,23 @@ def _make_handler(server: DetectionServer):
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
-                self._json(400, {"error": "bad Content-Length header"})
+                self._reject(400, "bad Content-Length header")
                 return
             if length <= 0:
-                self._json(400, {"error": "empty body — POST image bytes"})
+                self._reject(400, "empty body — POST image bytes")
                 return
             if length > server.max_body_bytes:
-                self._json(413, {"error": (
-                    f"body of {length} bytes exceeds the "
-                    f"{server.max_body_bytes}-byte limit")})
+                self._reject(413, f"body of {length} bytes exceeds the "
+                                  f"{server.max_body_bytes}-byte limit")
                 return
             body = self.rfile.read(length)
             query = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
             try:
                 self._json(200, server.handle_detect(body, query))
             except _BadRequest as e:
-                self._json(400, {"error": str(e)})
+                self._reject(400, str(e))
             except _TooBusy as e:
-                self._json(503, {"error": str(e)})
+                self._json(503, {"error": str(e)})  # recorded at submit
             except Exception as e:  # noqa: BLE001 — report, don't crash
                 self._json(500, {"error": str(e)})
 
@@ -516,9 +526,20 @@ def main() -> None:
             batch_buckets=[int(x) for x in
                            (args.batch_buckets or "1,8,32").split(",")],
             max_wait_ms=args.max_wait_ms)
-    print(json.dumps({"serving": server.meta,
-                      "host": args.host, "port": args.port}), flush=True)
-    server.serve(args.host, args.port)
+    # run the server in a worker thread so the readiness line prints
+    # AFTER warmup with the truly bound port (--port 0 picks a free one)
+    ready = threading.Event()
+    t = threading.Thread(target=server.serve, daemon=True,
+                         kwargs={"host": args.host, "port": args.port,
+                                 "ready_event": ready})
+    t.start()
+    ready.wait()
+    print(json.dumps({"serving": server.meta, "host": args.host,
+                      "port": server.port, "ready": True}), flush=True)
+    try:
+        t.join()
+    except KeyboardInterrupt:
+        server.shutdown()
 
 
 if __name__ == "__main__":

@@ -191,6 +191,56 @@ def test_legacy_v1_artifact_loads(det, artifact, tmp_path):
                  served.detect_one(np_img=IMG, conf_thres=0.3))
 
 
+def test_v0_bare_mlir_artifact_loads(det, artifact, tmp_path):
+    """The very first export format stored ONE blob under the bare key
+    '__mlir__' (batch and size only in meta); it must still load."""
+    import json as json_mod
+
+    with np.load(artifact, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = json_mod.loads(bytes(flat.pop("__meta__")).decode("utf-8"))
+    meta["version"] = 1
+    meta.pop("input_sizes")
+    meta.pop("batch_sizes")  # v0 meta had only the scalar batch_size
+    legacy = {}
+    for k, v in flat.items():
+        if k.startswith("__mlir__"):
+            legacy["__mlir__"] = v  # one bucket: batch 2 (the fixture's)
+        else:
+            legacy[k] = v
+    legacy["__meta__"] = np.frombuffer(
+        json_mod.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    path = str(tmp_path / "v0.mydet")
+    with open(path, "wb") as f:
+        np.savez(f, **legacy)
+    served = load_exported(path)
+    assert served.batch_sizes == [meta["batch_size"]]
+    _assert_same(det.detect_one(np_img=IMG, conf_thres=0.3),
+                 served.detect_one(np_img=IMG, conf_thres=0.3))
+
+
+def test_exported_nms_iou_kwarg_parity(det, artifact):
+    """Detector's detect surfaces accept nms_iou; the exported ones
+    must too — matching the baked value works, differing fails with
+    the readable re-export message, never a TypeError."""
+    served = load_exported(artifact)
+    baked = served.meta["nms_iou"]
+    want = det.detect_one(np_img=IMG, conf_thres=0.3)
+    _assert_same(want, served.detect_one(np_img=IMG, conf_thres=0.3,
+                                         nms_iou=baked))
+    got = served.detect_batch([IMG], conf_thres=0.3, nms_iou=baked)
+    _assert_same(want, got[0])
+    for call in (lambda: served.detect_one(np_img=IMG, nms_iou=baked + 0.1),
+                 lambda: served.detect_batch([IMG], nms_iou=baked + 0.1)):
+        with pytest.raises(ValueError, match="re-export"):
+            call()
+
+
+def test_empty_input_size_rejected(det, tmp_path):
+    with pytest.raises(ValueError, match="empty sequence"):
+        export_detector(det, str(tmp_path / "x.mydet"), input_size=[])
+
+
 def test_future_version_rejected_readably(det, artifact, tmp_path):
     import json as json_mod
 

@@ -191,6 +191,20 @@ def test_oversize_body_is_413_and_bad_length_is_400(base, server):
         assert b"Content-Length" in resp.read()
 
 
+def test_rejected_requests_counted_in_stats(base):
+    before = _get(base + "/stats")
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base + "/detect", b"definitely not an image")
+    after = _get(base + "/stats")
+    assert after["requests"] == before["requests"] + 1
+    assert after["errors"] == before["errors"] + 1
+
+
+def test_from_detector_validates_input_sizes(det):
+    with pytest.raises(ValueError, match="multiple of 32"):
+        DetectionServer.from_detector(det, input_sizes=[128, 500])
+
+
 def test_cli_rejects_model_flags_with_artifact(monkeypatch, capsys):
     import mydetection_tpu.serve as serve_mod
 
