@@ -17,6 +17,27 @@ import jax.numpy as jnp
 from mydetection_tpu.ops.boxes import elementwise_giou, elementwise_iou
 
 
+def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`take_along_axis(table, idx)` for a tiny per-image table, as an
+    exact one-hot contraction: (B, M, ...) table + (B, N) idx → (B, N, ...).
+
+    Target assignment gathers per-anchor rows out of the padded GT
+    table (M ≈ 8-100). XLA lowers that dynamic gather to a serialized
+    loop fusion on TPU — measured 6.4 + 8.6 ms for the two gathers in
+    the RetinaNet@608 batch-16 train step (benchmarks/xplane_top_ops
+    r3), ~13 % of the whole step. The one-hot matmul is the TPU-shaped
+    formulation (dense, MXU/VPU-friendly) and is EXACT: each one-hot
+    row selects a single element, so the float contraction reproduces
+    table[idx] bitwise (integer tables round-trip exactly through f32
+    for |v| < 2^24).
+    """
+    b, m = table.shape[0], table.shape[1]
+    onehot = (idx[..., None] == jnp.arange(m)).astype(jnp.float32)
+    flat = table.reshape(b, m, -1).astype(jnp.float32)
+    out = jnp.einsum("bnm,bmf->bnf", onehot, flat)
+    return out.reshape(*idx.shape, *table.shape[2:]).astype(table.dtype)
+
+
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable sigmoid binary cross-entropy, elementwise."""
     return (jnp.maximum(logits, 0) - logits * targets

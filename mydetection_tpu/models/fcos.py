@@ -20,7 +20,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from mydetection_tpu.losses import bce_with_logits, focal_loss, giou_loss
+from mydetection_tpu.losses import (bce_with_logits, focal_loss, giou_loss,
+                                    onehot_gather)
 from mydetection_tpu.models.layers import KeyGen, Params, conv2d, conv_init
 from mydetection_tpu.ops.boxes import cxcywh_to_xyxy
 
@@ -236,8 +237,15 @@ def _assign(locations, strides, gt_xyxy, gt_valid):
     matched = jnp.argmin(cand_area, -1)                       # (B, N)
     positive = jnp.any(candidate, -1)
 
-    tgt = jnp.take_along_axis(ltrb, matched[..., None, None].repeat(4, -1),
-                              axis=2)[:, :, 0, :]             # (B, N, 4)
+    # Select the matched GT box with a one-hot contraction and rebuild
+    # its ltrb directly — bitwise-identical to gathering rows out of
+    # the (B, N, M, 4) tensor (same subtraction, same operands), but
+    # avoids both the huge gather and XLA's serialized dynamic-gather
+    # lowering on TPU (see losses.onehot_gather).
+    sel = onehot_gather(jnp.stack([x1, y1, x2, y2], -1), matched)  # (B, N, 4)
+    tgt = jnp.stack([x[None, :] - sel[..., 0], y[None, :] - sel[..., 1],
+                     sel[..., 2] - x[None, :], sel[..., 3] - y[None, :]],
+                    -1)                                       # (B, N, 4)
     lr = tgt[..., 0::2]
     tb = tgt[..., 1::2]
     ctr_tgt = jnp.sqrt(jnp.clip(
@@ -256,7 +264,7 @@ def loss(cls_logits, ltrb_pred, ctr_logits, locations, strides,
     positive, matched, tgt_ltrb, ctr_tgt = _assign(
         locations, strides, gt_xyxy, gt_valid)
 
-    tgt_cls = jnp.take_along_axis(gt_classes, matched, axis=1)
+    tgt_cls = onehot_gather(gt_classes, matched)
     cls_onehot = jax.nn.one_hot(tgt_cls, num_classes) * positive[..., None]
     num_pos = jnp.maximum(jnp.sum(positive), 1.0)
     cls_loss = jnp.sum(focal_loss(cls_logits, cls_onehot)) / num_pos

@@ -20,7 +20,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from mydetection_tpu.losses import focal_loss, smooth_l1
+from mydetection_tpu.losses import focal_loss, onehot_gather, smooth_l1
 from mydetection_tpu.models.layers import KeyGen, Params, conv2d, conv_init
 from mydetection_tpu.ops.boxes import cxcywh_to_xyxy, pairwise_iou
 
@@ -247,15 +247,16 @@ def loss(cls_logits: jnp.ndarray, box_deltas: jnp.ndarray,
     matched_gt = jnp.where(force, jnp.maximum(force_votes, 0),
                            best_gt)                           # (B, N)
 
-    tgt_cls = jnp.take_along_axis(gt_classes, matched_gt, axis=1)  # (B, N)
+    # one-hot contraction, not take_along_axis: XLA's dynamic gather
+    # from the tiny GT table serializes on TPU (see losses.onehot_gather)
+    tgt_cls = onehot_gather(gt_classes, matched_gt)           # (B, N)
     cls_onehot = jax.nn.one_hot(tgt_cls, num_classes) * positive[..., None]
     fl = focal_loss(cls_logits, cls_onehot)                   # (B, N, C)
     fl_mask = (positive | negative)[..., None]
     num_pos = jnp.maximum(jnp.sum(positive), 1.0)
     cls_loss = jnp.sum(fl * fl_mask) / num_pos
 
-    tgt_boxes = jnp.take_along_axis(
-        gt_boxes, matched_gt[..., None], axis=1)              # (B, N, 4)
+    tgt_boxes = onehot_gather(gt_boxes, matched_gt)           # (B, N, 4)
     reg_tgt = encode(tgt_boxes, anchors_cxcywh[None])
     reg = jnp.sum(smooth_l1(box_deltas, reg_tgt), -1)         # (B, N)
     box_loss = jnp.sum(reg * positive) / num_pos

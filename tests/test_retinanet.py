@@ -245,3 +245,31 @@ def test_head_init_keeps_focal_prior_and_sgd_stable():
         assert np.isfinite(float(tot)), float(tot)
         first = float(tot) if first is None else first
     assert first < 20.0, first  # O(1) init loss, not the ~26k regression
+
+
+def test_onehot_gather_matches_take_along_axis():
+    """The TPU-shaped one-hot contraction must reproduce the gather it
+    replaces BITWISE, for float tables (boxes) and integer tables
+    (class ids), including repeated and boundary indices."""
+    import numpy as np
+
+    from mydetection_tpu.losses import onehot_gather
+
+    rng = np.random.RandomState(0)
+    b, n, m = 3, 257, 9
+    idx = jnp.asarray(rng.randint(0, m, (b, n)))
+    boxes = jnp.asarray(rng.randn(b, m, 4).astype(np.float32) * 1e3)
+    want = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(onehot_gather(boxes, idx)),
+                                  np.asarray(want))
+    classes = jnp.asarray(rng.randint(0, 80, (b, m)), jnp.int32)
+    want_c = jnp.take_along_axis(classes, idx, axis=1)
+    got_c = onehot_gather(classes, idx)
+    assert got_c.dtype == classes.dtype
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    # 1-D trailing shape (scalar table entries), all-same index
+    scal = jnp.asarray(rng.randn(b, m).astype(np.float32))
+    idx0 = jnp.zeros((b, n), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(onehot_gather(scal, idx0)),
+        np.asarray(jnp.take_along_axis(scal, idx0, axis=1)))
