@@ -273,3 +273,19 @@ def test_onehot_gather_matches_take_along_axis():
     np.testing.assert_array_equal(
         np.asarray(onehot_gather(scal, idx0)),
         np.asarray(jnp.take_along_axis(scal, idx0, axis=1)))
+
+
+def test_onehot_gather_pins_highest_precision():
+    """Bitwise exactness on TPU REQUIRES precision='highest': the MXU's
+    DEFAULT f32 dot truncates operands to bf16, which would round the
+    gathered GT box coordinates (~2 px at 608 input). The CPU backend
+    ignores the precision flag, so the equality test above cannot catch
+    a regression — pin the lowered dot's operand_precision instead."""
+    from mydetection_tpu.losses import onehot_gather
+
+    table = jnp.zeros((2, 9, 4), jnp.float32)
+    idx = jnp.zeros((2, 33), jnp.int32)
+    hlo = jax.jit(onehot_gather).lower(table, idx).as_text()
+    assert "HIGHEST" in hlo.upper(), (
+        "onehot_gather's contraction lost precision='highest' — on TPU "
+        "this silently truncates gathered f32 values to bf16")
