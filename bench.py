@@ -146,12 +146,16 @@ def _family_lines() -> None:
     import jax
 
     if jax.default_backend() != "tpu":
+        print("# skipping per-family bench lines (backend="
+              f"{jax.default_backend()}): TPU-only — this bench file is "
+              "PARTIAL", flush=True)
         return
     import traceback
 
     from benchmarks.device_bench import bench_model
 
-    for name, size in (("retinanet", 608), ("fcos", 608), ("rapid", 1024)):
+    for name, size in (("retinanet", 608), ("fcos", 608), ("rapid", 1024),
+                       ("retinanet_r101", 608)):
         if _over_budget(f"{name}-{size}"):
             continue
         try:
@@ -175,6 +179,9 @@ def _int8_line() -> None:
     import jax
 
     if jax.default_backend() != "tpu":
+        print("# skipping int8 bench line (backend="
+              f"{jax.default_backend()}): TPU-only — this bench file is "
+              "PARTIAL", flush=True)
         return
     import traceback
 

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(HERE))  # repo root, for direct execution
 DEFAULTS = {  # model -> benched input size (reference operating points)
     "yolov3": 416,
     "retinanet": 608,
+    "retinanet_r101": 608,
     "fcos": 608,
     "rapid": 1024,
 }

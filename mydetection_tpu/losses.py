@@ -12,6 +12,7 @@ caller's job (heads own their loss — SURVEY.md §3.3 idiom).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mydetection_tpu.ops.boxes import elementwise_giou, elementwise_iou
@@ -31,20 +32,25 @@ def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     table[idx] bitwise (integer tables round-trip exactly through f32
     for |v| < 2^24).
 
-    precision='highest' is load-bearing for that exactness claim: the
-    TPU MXU's DEFAULT f32 dot truncates both operands to bf16, which
-    would silently round gathered f32 GT box coordinates (≈2 px at 608
-    input) and corrupt integer class ids above 256. HIGHEST decomposes
-    each f32 operand into exact bf16 parts, so v·1.0 + Σ v·0.0
-    reconstructs v bitwise. Cost bound: the extra passes multiply only
-    this contraction's ~1 GFLOP (B·N·M·F ≈ 16·69k·8·5 at retinanet@608
-    b16) — sub-ms against the ~15 ms serialized gather it replaces, so
-    the measured win stands.
+    HIGHEST precision on the TABLE operand is load-bearing for that
+    exactness claim: the TPU MXU's DEFAULT f32 dot truncates operands
+    to bf16, which would silently round gathered f32 GT box
+    coordinates (≈2 px at 608 input) and corrupt integer class ids
+    above 256. HIGHEST decomposes the f32 table into exact bf16 parts,
+    so v·1.0 + Σ v·0.0 reconstructs v bitwise. The one-hot operand is
+    exact 0.0/1.0 — already bf16-exact — so it stays at DEFAULT
+    (per-operand precision): 3 MXU passes instead of 9 for
+    HIGHEST-on-both, same bitwise result. Cost bound: the passes
+    multiply only this contraction's ~1 GFLOP (B·N·M·F ≈ 16·69k·8·5 at
+    retinanet@608 b16) — sub-ms against the ~15 ms serialized gather
+    it replaces, so the measured win stands.
     """
     b, m = table.shape[0], table.shape[1]
     onehot = (idx[..., None] == jnp.arange(m)).astype(jnp.float32)
     flat = table.reshape(b, m, -1).astype(jnp.float32)
-    out = jnp.einsum("bnm,bmf->bnf", onehot, flat, precision="highest")
+    out = jnp.einsum("bnm,bmf->bnf", onehot, flat,
+                     precision=(jax.lax.Precision.DEFAULT,
+                                jax.lax.Precision.HIGHEST))
     return out.reshape(*idx.shape, *table.shape[2:]).astype(table.dtype)
 
 

@@ -276,16 +276,26 @@ def test_onehot_gather_matches_take_along_axis():
 
 
 def test_onehot_gather_pins_highest_precision():
-    """Bitwise exactness on TPU REQUIRES precision='highest': the MXU's
-    DEFAULT f32 dot truncates operands to bf16, which would round the
-    gathered GT box coordinates (~2 px at 608 input). The CPU backend
-    ignores the precision flag, so the equality test above cannot catch
-    a regression — pin the lowered dot's operand_precision instead."""
+    """Bitwise exactness on TPU REQUIRES HIGHEST precision on the table
+    operand: the MXU's DEFAULT f32 dot truncates operands to bf16,
+    which would round the gathered GT box coordinates (~2 px at 608
+    input). The CPU backend ignores the precision flag, so the equality
+    test above cannot catch a regression — pin the lowered dot_general's
+    own precision config (anchored to the op, not just any 'HIGHEST'
+    substring in the module; advisor r3). The one-hot operand is exact
+    0/1 and deliberately stays DEFAULT — 3 MXU passes, not 9."""
+    import re
+
     from mydetection_tpu.losses import onehot_gather
 
     table = jnp.zeros((2, 9, 4), jnp.float32)
     idx = jnp.zeros((2, 33), jnp.int32)
     hlo = jax.jit(onehot_gather).lower(table, idx).as_text()
-    assert "HIGHEST" in hlo.upper(), (
-        "onehot_gather's contraction lost precision='highest' — on TPU "
-        "this silently truncates gathered f32 values to bf16")
+    dots = [ln for ln in hlo.splitlines() if "dot_general" in ln]
+    assert dots, "onehot_gather no longer lowers to a dot_general"
+    # the gather contraction: one-hot lhs at DEFAULT, table rhs HIGHEST
+    pat = re.compile(r"dot_general.*precision\s*=\s*\[DEFAULT,\s*HIGHEST\]")
+    assert any(pat.search(ln) for ln in dots), (
+        "onehot_gather's dot_general lost HIGHEST precision on the "
+        "table operand — on TPU this silently truncates gathered f32 "
+        f"values to bf16. Lowered dots:\n" + "\n".join(dots))
