@@ -171,6 +171,41 @@ def _family_lines() -> None:
             traceback.print_exc()
 
 
+def _numerics_line() -> None:
+    """Device-side numerics validation (SURVEY.md §4.2 second leg):
+    Pallas-vs-oracle NMS keep-mask equality + e2e goldens recomputed
+    through the device pipeline, COMPILED on the TPU (the test suite
+    only ever runs these in CPU/interpret mode). Prints value 1.0 only
+    if every check passed; 0.0 (plus the failing detail on a comment
+    line) otherwise. Full sweep: benchmarks/device_checks.py."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("# skipping device numerics line (backend="
+              f"{jax.default_backend()}): TPU-only — this bench file is "
+              "PARTIAL", flush=True)
+        return
+    import traceback
+
+    if _over_budget("device-numerics"):
+        return
+    try:
+        from benchmarks.device_checks import run as numerics_run
+
+        res = numerics_run(quick=True)
+        if not res["ok"]:
+            print("# DEVICE NUMERICS FAILURE: " + json.dumps(res), flush=True)
+        print(json.dumps({
+            "metric": ("device numerics_ok (pallas-vs-oracle NMS + e2e "
+                       "goldens, compiled on tpu)"),
+            "value": 1.0 if res["ok"] else 0.0,
+            "unit": "bool",
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception:
+        traceback.print_exc()
+
+
 def _int8_line() -> None:
     """Opt-in int8 PTQ serving-path number (quant.py) as an extra
     tracked line. The float flagship stays the headline (last line) —
@@ -202,6 +237,7 @@ def _int8_line() -> None:
 
 
 if __name__ == "__main__":
+    _numerics_line()
     _family_lines()
     _int8_line()
     main()

@@ -70,10 +70,17 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float, block: int)
         union = barea + area - inter
         iou = inter / jnp.maximum(union, 1e-9)
 
-        # intra-block (BLOCK, BLOCK) IoU — contraction instead of slicing
+        # intra-block (BLOCK, BLOCK) IoU — contraction instead of
+        # slicing. HIGHEST precision is REQUIRED for oracle equality:
+        # the one-hot contraction merely *selects* f32 IoU entries, but
+        # at DEFAULT precision the MXU rounds them through bf16 passes
+        # and near-iou_thres comparisons flip vs the exact-f32 oracle
+        # (caught on hardware by benchmarks/device_checks.py: 2/98304
+        # keep-rows diverged; interpret-mode tests can't see it).
         intra = jax.lax.dot_general(
             iou, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         bk0 = extract(keep_ref[0:1, :])  # (BLOCK, 1) keep flags
         # intra-block greedy resolve: shared fixpoint helper

@@ -45,12 +45,20 @@ def _suppress_kernel(iou_ref, valid_ref, keep_ref, *, iou_thres: float,
     def outer(b, _):
         start = b * block
         onehot = (col == (start + row_ids)).astype(jnp.float32)      # (B, K)
-        # block rows of the IoU matrix via MXU contraction
+        # block rows of the IoU matrix via MXU contraction. HIGHEST
+        # precision is REQUIRED for oracle equality: these one-hot
+        # contractions only *select* f32 IoU entries, but at DEFAULT
+        # precision the MXU rounds them through bf16 passes and
+        # near-iou_thres comparisons flip vs the exact-f32 lax loop
+        # (caught on hardware by benchmarks/device_checks.py: 6/32768
+        # keep-rows diverged; interpret-mode tests can't see it).
         tile = jax.lax.dot_general(onehot, iou_ref[:, :],
                                    (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
         intra = jax.lax.dot_general(tile, onehot, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
         bk0 = jnp.sum(onehot * keep_ref[0:1, :], axis=1, keepdims=True)
         # intra-block greedy resolve: shared fixpoint helper
         # (ops/pallas/common.py — one definition for both NMS kernels),
