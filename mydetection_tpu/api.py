@@ -428,19 +428,23 @@ class Detector:
         forward_dense = _make_forward_dense(self)
         post_one = make_post_one(cfg, use_pallas)
 
+        # conf_thres is traced as a PER-IMAGE (B,) vector (serve.py
+        # micro-batches requests with different thresholds into one
+        # dispatch — the postprocess is vmapped per image anyway, so a
+        # per-image conf costs nothing); _run_batch normalizes scalars.
         if use_pallas:
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
             def run(params, images_u8, conf_thres, nms_iou):
                 dense, _ = forward_dense(params, images_u8)
                 return jax.vmap(
-                    lambda d: post_one(d, conf_thres, nms_iou))(dense)
+                    lambda d, c: post_one(d, c, nms_iou))(dense, conf_thres)
         else:
             fwd = jax.jit(lambda params, images: forward_dense(params, images)[0])
 
             @functools.partial(jax.jit, static_argnames=("nms_iou",))
             def post_batch(dense, conf_thres, nms_iou):
                 return jax.vmap(
-                    lambda d: post_one(d, conf_thres, nms_iou))(dense)
+                    lambda d, c: post_one(d, c, nms_iou))(dense, conf_thres)
 
             def run(params, images_u8, conf_thres, nms_iou):
                 dense = fwd(params, images_u8)
@@ -449,14 +453,33 @@ class Detector:
         self._jitted[key] = run
         return run
 
-    def _run_batch(self, canvases: np.ndarray, conf_thres: float, nms_iou: float,
+    # serve.py probes this to group mixed-conf requests into one batch
+    supports_conf_vector = True
+
+    def _run_batch(self, canvases: np.ndarray, conf_thres, nms_iou: float,
                    input_size: int) -> dict:
+        """conf_thres: one float for the whole batch, or a per-image
+        sequence covering the leading rows (shorter than the batch is
+        fine — padding rows reuse the last value; their outputs are
+        dropped by callers anyway)."""
         run = self._pipeline(input_size)
         if self._pack_input:
             canvases = pack_s2d2(np.asarray(canvases))
         p = self.params if self._q is None else self._q
-        out = run(p, self._place_batch(canvases),
-                  jnp.float32(conf_thres), nms_iou=float(nms_iou))
+        placed = self._place_batch(canvases)
+        b = placed.shape[0]
+        if np.ndim(conf_thres) == 0:
+            conf_vec = jnp.full((b,), conf_thres, jnp.float32)
+        else:
+            cv = np.asarray(conf_thres, np.float32)
+            if not (0 < len(cv) <= b):
+                raise ValueError(
+                    f"conf_thres vector has {len(cv)} entries for a "
+                    f"batch of {canvases.shape[0]}")
+            if len(cv) < b:
+                cv = np.concatenate([cv, np.repeat(cv[-1:], b - len(cv))])
+            conf_vec = jnp.asarray(cv)
+        out = run(p, placed, conf_vec, nms_iou=float(nms_iou))
         return jax.device_get(out)
 
     def _strip(self, out: dict, i: int, info: LetterboxInfo) -> Detections:
@@ -537,6 +560,10 @@ class Detector:
         Host numpy canvases are packed here automatically when the
         model uses the packed fast path; device-resident canvases are
         run in whatever layout the caller staged.
+
+        conf_thres: one float, or a PER-IMAGE sequence (len == len(infos))
+        — requests with different thresholds batch into one dispatch
+        (the serving daemon's mixed-conf coalescing path).
         """
         conf = conf_thres if conf_thres is not None else self.cfg.conf_thres
         iou = nms_iou if nms_iou is not None else self.cfg.nms_iou
@@ -558,7 +585,18 @@ class Detector:
         size = int(canvases.shape[1]) * (2 if packed else 1)
         run = self._pipeline(size)
         batch = canvases if self.mesh is None else self._place_batch(canvases)
+        b = batch.shape[0]
+        if np.ndim(conf) == 0:
+            conf_vec = jnp.full((b,), conf, jnp.float32)
+        else:
+            cv = np.asarray(conf, np.float32)
+            if len(cv) != len(infos):
+                raise ValueError(
+                    f"per-image conf_thres has {len(cv)} entries for "
+                    f"{len(infos)} images")
+            if len(cv) < b:  # batch padding rows: value irrelevant
+                cv = np.concatenate([cv, np.repeat(cv[-1:], b - len(cv))])
+            conf_vec = jnp.asarray(cv)
         p = self.params if self._q is None else self._q
-        out = jax.device_get(run(p, batch, jnp.float32(conf),
-                                 nms_iou=float(iou)))
+        out = jax.device_get(run(p, batch, conf_vec, nms_iou=float(iou)))
         return [self._strip(out, i, infos[i]) for i in range(len(infos))]

@@ -46,7 +46,11 @@ _FORMAT = "mydetection-tpu-export"
 # Version-1 single-size artifacts (__mlir__<b>) still load (the size
 # comes from meta["input_size"]); a v1 LIBRARY given a v2 artifact
 # fails with the readable upgrade message below.
-_VERSION = 2
+# 3: conf_thres is traced as a PER-IMAGE (batch,) vector
+# (meta["conf_vector"]) so the serving daemon batches mixed-threshold
+# requests; v<=2 scalar-conf artifacts still load and serve (uniform
+# conf only).
+_VERSION = 3
 # Custom-call targets this pipeline can legitimately emit on TPU.
 # Anything else failing the stability check is a real error.
 _KNOWN_CUSTOM_CALLS = ("tpu_custom_call", "ApproxTopK", "PartialReduce",
@@ -71,9 +75,12 @@ def _export_fn(det, treedef):
     nms_iou = float(cfg.nms_iou)
 
     def fn(param_leaves, images_u8, conf_thres):
+        # conf_thres: (batch,) per-image vector — mirrors the live
+        # pipeline so mixed-threshold requests share one dispatch
         params = jax.tree_util.tree_unflatten(treedef, param_leaves)
         dense, _ = forward_dense(params, images_u8)
-        return jax.vmap(lambda d: post_one(d, conf_thres, nms_iou))(dense)
+        return jax.vmap(lambda d, c: post_one(d, c, nms_iou))(
+            dense, conf_thres)
 
     return fn
 
@@ -125,7 +132,6 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
         raise ValueError("detector has no parameters to export")
     leaves, treedef = jax.tree_util.tree_flatten(params)
     p_spec = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
-    conf_spec = jax.ShapeDtypeStruct((), jnp.float32)
 
     fn = jax.jit(_export_fn(det, treedef))
     from jax import export as jexport
@@ -140,6 +146,7 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
             else:
                 img_spec = jax.ShapeDtypeStruct((b, size, size, 3),
                                                 jnp.uint8)
+            conf_spec = jax.ShapeDtypeStruct((b,), jnp.float32)
             checks = [jexport.DisabledSafetyCheck.custom_call(t)
                       for t in waived]
             try:
@@ -182,6 +189,7 @@ def export_detector(det, path: str, *, batch_size: int | Sequence[int] = 1,
         "nms_iou": float(cfg.nms_iou),
         "max_dets": int(cfg.max_dets),
         "quantized": det._q is not None,
+        "conf_vector": True,  # v3: per-image (batch,) conf_thres arg
         "pack_input": bool(det._pack_input),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
@@ -250,13 +258,42 @@ class ExportedDetector:
             self._run(np.zeros((b, size, size, 3), np.uint8),
                       self.meta["conf_thres"])
 
-    def _run(self, canvases: np.ndarray, conf: float) -> dict:
+    @property
+    def supports_conf_vector(self) -> bool:
+        """True when the artifact's graphs take a per-image conf vector
+        (export version >= 3) — serve.py batches mixed-conf requests
+        only when this holds; legacy scalar artifacts keep per-conf
+        grouping."""
+        return bool(self.meta.get("conf_vector"))
+
+    def _run(self, canvases: np.ndarray, conf) -> dict:
+        """conf: one float, or a per-image sequence covering the
+        leading rows (padding rows reuse the last value)."""
         if self.meta["pack_input"] and canvases.shape[-1] == 3:
             from mydetection_tpu.utils.image_ops import pack_s2d2
             canvases = pack_s2d2(np.asarray(canvases))
         size = canvases.shape[1] * (2 if canvases.shape[-1] == 12 else 1)
-        call = self._calls[(size, canvases.shape[0])]
-        out = call(self.params, jnp.asarray(canvases), jnp.float32(conf))
+        b = canvases.shape[0]
+        call = self._calls[(size, b)]
+        if self.supports_conf_vector:
+            if np.ndim(conf) == 0:
+                conf_arg = jnp.full((b,), conf, jnp.float32)
+            else:
+                cv = np.asarray(conf, np.float32)
+                if len(cv) < b:
+                    cv = np.concatenate([cv, np.repeat(cv[-1:], b - len(cv))])
+                conf_arg = jnp.asarray(cv)
+        else:  # legacy scalar-conf artifact: uniform threshold only
+            if np.ndim(conf) != 0:
+                uniq = set(float(c) for c in np.asarray(conf).ravel())
+                if len(uniq) > 1:
+                    raise ValueError(
+                        "this artifact predates per-image conf_thres "
+                        "(export version < 3) — re-export to serve "
+                        "mixed-threshold batches")
+                conf = uniq.pop()
+            conf_arg = jnp.float32(conf)
+        out = call(self.params, jnp.asarray(canvases), conf_arg)
         return jax.device_get(out)
 
     def _chunks(self, n: int) -> list[tuple[int, int]]:
@@ -350,11 +387,17 @@ class ExportedDetector:
         """Detect on already-letterboxed uint8 canvases — the evaluator
         / streaming fast path (`eval/evaluator.py`). Only the first
         len(infos) rows are real. `nms_iou` is baked into the artifact;
-        passing a different value is an error, not a silent ignore."""
+        passing a different value is an error, not a silent ignore.
+        `conf_thres` may be a per-image sequence (len == len(infos))
+        on conf-vector artifacts (export version >= 3)."""
         from mydetection_tpu.api import strip_detections
 
         self._check_nms_iou(nms_iou)
         conf = conf_thres if conf_thres is not None else self.meta["conf_thres"]
+        if np.ndim(conf) != 0 and len(np.asarray(conf)) != len(infos):
+            raise ValueError(
+                f"per-image conf_thres has {len(np.asarray(conf))} "
+                f"entries for {len(infos)} images")
         if canvases.shape[-1] not in (3, 12):
             raise ValueError(
                 f"detect_prepared expects (B, S, S, 3) RGB or "
@@ -401,7 +444,9 @@ class ExportedDetector:
             if len(chunk) < bsz:
                 pad = np.repeat(chunk[-1:], bsz - len(chunk), axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            out = self._run(chunk, conf)
+            c = (conf if np.ndim(conf) == 0
+                 else np.asarray(conf)[start:start + take])
+            out = self._run(chunk, c)
             dets += [strip_detections(out, i, infos[start + i],
                                       rotated=rotated)
                      for i in range(take)]

@@ -18,9 +18,11 @@ Design (TPU-first):
   - **Dynamic micro-batching.** Handler threads decode + letterbox on
     host (the parallel part), then enqueue. ONE dispatcher thread owns
     the device (the TPU client is not usefully concurrent — one graph
-    runs at a time) and groups compatible requests (same input size,
-    same conf_thres — conf is a traced scalar, one value per dispatch)
-    into the smallest covering batch bucket. A group dispatches as
+    runs at a time) and groups compatible requests (same input size;
+    conf_thres is a traced PER-IMAGE vector, so mixed thresholds
+    coalesce — legacy scalar-conf export artifacts fall back to
+    same-conf grouping) into the smallest covering batch bucket. A
+    group dispatches as
     soon as it fills the largest bucket, or when its oldest request
     has waited `max_wait_ms` — the classic latency/occupancy knob.
   - **Static shapes only.** Requests are padded to fixed buckets so
@@ -70,7 +72,10 @@ class _Pending:
 
     canvas: np.ndarray          # (S, S, 3) uint8
     info: object                # LetterboxInfo
-    key: tuple                  # (input_size, conf) — batchable group
+    key: tuple                  # batchable group: (input_size,) when the
+                                # backend takes per-image conf vectors,
+                                # else (input_size, conf)
+    conf: float                 # this request's threshold
     t_enqueue: float
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: object = None       # Detections on success
@@ -216,7 +221,11 @@ class _Batcher(threading.Thread):
             if n < bucket:  # pad to the compiled bucket — rows ignored
                 pad = np.repeat(canvases[-1:], bucket - n, axis=0)
                 canvases = np.concatenate([canvases, pad], axis=0)
-            _, conf = group[0].key
+            confs = [p.conf for p in group]
+            # per-image conf vector when the backend takes one (mixed-
+            # threshold requests coalesced into this group); uniform
+            # groups pass the single scalar either way
+            conf = confs[0] if len(set(confs)) == 1 else confs
             dets = self.backend.detect_prepared(
                 canvases, [p.info for p in group], conf_thres=conf)
             self.stats.record_batch(n, bucket)
@@ -252,6 +261,13 @@ class DetectionServer:
 
             use_native = native.available()
         self.use_native = bool(use_native)
+        # mixed-conf coalescing: when the backend's graphs take a
+        # per-image conf vector (live Detector, v3+ export artifacts),
+        # batch groups key on input_size ONLY — one client with a
+        # custom threshold no longer fragments batching for everyone.
+        # Legacy scalar-conf artifacts keep (size, conf) grouping.
+        self._conf_vector = bool(getattr(backend, "supports_conf_vector",
+                                         False))
         self.stats = _Stats()
         self.batcher = _Batcher(backend, self.batch_buckets,
                                 max_wait_ms / 1e3, self.stats,
@@ -377,7 +393,8 @@ class DetectionServer:
                 raise _BadRequest(
                     f"body is not a decodable image: {e}") from e
             canvas, info = letterbox_pil(img, size)
-        p = _Pending(canvas=canvas, info=info, key=(size, conf),
+        key = (size,) if self._conf_vector else (size, conf)
+        p = _Pending(canvas=canvas, info=info, key=key, conf=conf,
                      t_enqueue=time.monotonic())
         try:
             self.batcher.submit(p)

@@ -229,9 +229,13 @@ class _FakeBackend:
         return [f"det{i}" for i in range(len(infos))]
 
 
-def _pending(key):
+def _pending(key, conf=None):
+    # legacy-style key (size, conf) carries its conf; size-only keys
+    # (mixed-conf coalescing) take it explicitly
+    if conf is None:
+        conf = key[1] if len(key) > 1 else 0.3
     return _Pending(canvas=np.zeros((8, 8, 3), np.uint8), info=None,
-                    key=key, t_enqueue=time.monotonic())
+                    key=key, conf=conf, t_enqueue=time.monotonic())
 
 
 def test_batcher_coalesces_same_key():
@@ -284,6 +288,58 @@ def test_batcher_splits_incompatible_keys():
     # same-key requests shared one dispatch (padded to the covering
     # bucket 4) despite the interloper; the odd conf went alone
     assert (4, 2, 0.3) in backend.calls and (1, 1, 0.9) in backend.calls
+
+
+def test_batcher_mixed_conf_coalesces():
+    """Size-only keys (conf-vector backends): requests with DIFFERENT
+    thresholds share one dispatch, each keeping its own conf in the
+    per-image vector (VERDICT r3 weak #3)."""
+    backend, stats = _FakeBackend(), _Stats()
+    b = _Batcher(backend, [1, 4], max_wait_s=0.5, stats=stats)
+    confs = [0.3, 0.9, 0.1, 0.3]
+    pend = [_pending((128,), conf=c) for c in confs]
+    for p in pend:
+        b.submit(p)
+    b.start()
+    for p in pend:
+        assert p.done.wait(10)
+    b.stop()
+    assert len(backend.calls) == 1
+    nrows, nreal, conf_arg = backend.calls[0]
+    assert (nrows, nreal) == (4, 4)
+    assert list(conf_arg) == confs  # per-image vector, request order
+    # uniform groups still pass the plain scalar
+    b2 = _Batcher(_FakeBackend(), [1, 4], max_wait_s=0.5, stats=_Stats())
+    uni = [_pending((128,), conf=0.25) for _ in range(4)]
+    for p in uni:
+        b2.submit(p)
+    b2.start()
+    for p in uni:
+        assert p.done.wait(10)
+    b2.stop()
+    assert b2.backend.calls == [(4, 4, 0.25)]
+
+
+def test_server_groups_by_size_only_with_conf_vector_backend():
+    """DetectionServer keys pending requests on input_size alone when
+    the backend advertises per-image conf support (the live Detector
+    always does), and on (size, conf) for legacy scalar backends."""
+
+    class _VecBackend(_FakeBackend):
+        supports_conf_vector = True
+        cfg = type("C", (), {"name": "x", "rotated": False,
+                             "class_names": None, "input_size": 128,
+                             "conf_thres": 0.3})()
+
+    class _ScalarBackend(_FakeBackend):
+        cfg = _VecBackend.cfg
+
+    vec = DetectionServer(_VecBackend(), input_sizes=[128],
+                          batch_buckets=[1, 4], use_native=False)
+    assert vec._conf_vector
+    legacy = DetectionServer(_ScalarBackend(), input_sizes=[128],
+                             batch_buckets=[1, 4], use_native=False)
+    assert not legacy._conf_vector
 
 
 def test_batcher_queue_cap_sheds():
