@@ -61,6 +61,7 @@ def test_e2e_golden_regression():
 
 @pytest.mark.parametrize("name,size,conf", [
     ("retinanet", 160, 0.005),  # prior-prob bias → ~0.01 scores at init
+    ("retinanet_r101", 160, 0.005),
     ("fcos", 160, 0.005),
     ("rapid", 128, 0.25),
 ])

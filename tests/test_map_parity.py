@@ -227,7 +227,11 @@ def _torch_trunk_pyramid(trunk, state, img):
     return _torch_fpn(state, tc3, tc4, tc5)
 
 
-def test_retinanet_map_parity():
+@pytest.mark.parametrize("model_name,layers", [
+    ("retinanet", (3, 4, 6, 3)),
+    pytest.param("retinanet_r101", (3, 4, 23, 3), marks=pytest.mark.slow),
+])
+def test_retinanet_map_parity(model_name, layers):
     from mydetection_tpu.models import retinanet
     from mydetection_tpu.weight_import import import_retinanet_state_dict
 
@@ -238,12 +242,13 @@ def test_retinanet_map_parity():
     # targets the non-truncating regime; truncation is the documented
     # semantic difference (SURVEY.md §7 hard-part #4)
     pre_nms = 6144
-    trunk, state, rng = _full_state(12, fcos=False, num_classes=nc)
+    trunk, state, rng = _full_state(12, fcos=False, num_classes=nc,
+                                    layers=layers)
 
-    det0 = Detector(model_name="retinanet", num_classes=nc, input_size=size,
+    det0 = Detector(model_name=model_name, num_classes=nc, input_size=size,
                     compute_dtype=jnp.float32, use_pallas=False)
     params = import_retinanet_state_dict(det0.params, state)
-    det = Detector(model_name="retinanet", num_classes=nc, input_size=size,
+    det = Detector(model_name=model_name, num_classes=nc, input_size=size,
                    compute_dtype=jnp.float32, use_pallas=False, params=params,
                    pre_nms=pre_nms)
 

@@ -109,9 +109,11 @@ class _Bottleneck(nn.Module):
 
 
 class _ResNet50Trunk(nn.Module):
-    """torchvision-resnet50-compatible trunk (conv1..layer4, no fc)."""
+    """torchvision-resnet-compatible trunk (conv1..layer4, no fc).
+    Default block counts are resnet50; pass layers=(3, 4, 23, 3) for
+    the resnet101 trunk (retinanet_r101 parity)."""
 
-    def __init__(self):
+    def __init__(self, layers=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -119,7 +121,7 @@ class _ResNet50Trunk(nn.Module):
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
         inplanes = 64
         for li, (planes, blocks, stride) in enumerate(
-                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+                zip((64, 128, 256, 512), layers, (1, 2, 2, 2))):
             down = nn.Sequential(
                 nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
                 nn.BatchNorm2d(planes * 4))
@@ -137,9 +139,9 @@ class _ResNet50Trunk(nn.Module):
         return c3, c4, c5
 
 
-def _randomized_trunk(seed):
+def _randomized_trunk(seed, layers=(3, 4, 6, 3)):
     rng = _seed_all(seed)
-    trunk = _ResNet50Trunk().eval()
+    trunk = _ResNet50Trunk(layers).eval()
     for m in trunk.modules():
         if isinstance(m, nn.BatchNorm2d):
             _randomize_bn(m, rng)
@@ -299,8 +301,9 @@ def _torch_final(state, key, x):
                         torch.tensor(state[key + ".bias"]), padding=1)
 
 
-def _full_state(seed, *, fcos: bool, num_classes: int):
-    trunk, rng = _randomized_trunk(seed)
+def _full_state(seed, *, fcos: bool, num_classes: int,
+                layers=(3, 4, 6, 3)):
+    trunk, rng = _randomized_trunk(seed, layers)
     state = {f"backbone.body.{k}": v.detach().numpy()
              for k, v in trunk.state_dict().items()}
     state.update(_fpn_state(rng))
