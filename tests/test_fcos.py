@@ -139,3 +139,31 @@ def test_head_init_keeps_focal_prior():
                        jnp.ones((2, 4), bool), input_size=128)
     assert np.isfinite(float(terms["total"]))
     assert float(terms["total"]) < 20.0, float(terms["total"])
+
+
+def test_gn_kernel_matches_oracle():
+    """The fused Pallas bias+GN+ReLU kernel (ops/pallas/gn_kernel.py,
+    interpret mode here; compiled equality re-checked on hardware by
+    benchmarks/fcos_gn_experiments.py) must reproduce the pure-jax
+    tower step: relu(group_norm(x + b))."""
+    from mydetection_tpu.models.fcos import group_norm
+    from mydetection_tpu.ops.pallas.gn_kernel import bias_gn_relu_pallas_impl
+
+    rng = np.random.RandomState(0)
+    b, h, w, c, g = 3, 9, 11, 64, 32
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 3,
+                        dtype)
+        bias = jnp.asarray(rng.randn(c).astype(np.float32))
+        scale = jnp.asarray(rng.uniform(0.5, 2, c).astype(np.float32))
+        shift = jnp.asarray(rng.randn(c).astype(np.float32))
+        xb = x + bias.astype(x.dtype)
+        want = jnp.maximum(group_norm(xb, {"scale": scale, "bias": shift},
+                                      groups=g), 0.0)
+        got = bias_gn_relu_pallas_impl(x, bias, scale, shift, groups=g,
+                                       interpret=True)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2 if dtype == jnp.bfloat16 else 1e-5,
+            atol=2e-2 if dtype == jnp.bfloat16 else 1e-5)
