@@ -119,6 +119,16 @@ def init(rng: jax.Array, num_classes: int = 80, *, channels: int = 256) -> Param
 
 
 def _subnet(p: Params, x, *, compute_dtype):
+    # Recorded NEGATIVE (VERDICT r3 #4): packing the tiny P5-P7 levels
+    # into one gap-masked canvas per tower dispatch (3 conv calls per
+    # layer instead of 5, bit-exact modulo f32 ulps) wins on the
+    # isolated 2-tower microbench (49.1 -> 45.4 ms @608/b32,
+    # benchmarks/retinanet_head_experiments.py) but LOSES end-to-end:
+    # 621.8 -> 615.0 img/s (device_bench). The packed canvas's
+    # pad/gap cells add +1.9% FLOPs (142.9 -> 145.6 GF/img) and the
+    # concat+pad+slice glue costs a fused graph more than the tiny
+    # convs' MXU under-fill, which XLA already overlaps with the
+    # backbone's HBM-bound stretches. Kept per-level.
     for i in range(4):
         w = p[f"conv{i}"]
         x = conv2d(x, w["w"], compute_dtype=compute_dtype) + w["b"].astype(

@@ -104,6 +104,10 @@ def bias_gn_relu_pallas_impl(x: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
+        # the f32 working set (xf, xf², y) is ~3x the block — P3@608 is
+        # 5776x256: ~18 MB, past the default 16 MB scoped-vmem cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x2, row(bias), row(scale), row(shift))
     return out.reshape(b, h, w, c)

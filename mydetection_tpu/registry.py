@@ -419,7 +419,13 @@ def _build_fcos(cfg: ModelConfig) -> Model:
         head = fcos.apply(params["head"], pyr, num_classes=nc,
                           compute_dtype=cfg.compute_dtype,
                           ltrb_decode=cfg.ltrb_decode,
-                          with_gate=not train and cfg.multi_label)
+                          with_gate=not train and cfg.multi_label,
+                          # fused Pallas bias+GN+ReLU (one HBM pass;
+                          # 56.95 -> 48.55 ms on the 2-tower @608/b32
+                          # microbench): inference-only (no VJP) and
+                          # Mosaic-only (TPU backend)
+                          fused_gn=not train
+                          and jax.default_backend() == "tpu")
         return head + (({"backbone": bu} if train else None),)
 
     def forward_dense(params, images, *, train: bool = False):
