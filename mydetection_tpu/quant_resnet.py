@@ -78,16 +78,38 @@ def _stage_nblocks(tree: Params) -> int:
 # backends
 # ---------------------------------------------------------------------------
 
+
+# Activation-scale calibration statistic: the q-th percentile of |y|
+# (100 = plain abs-max, the DEFAULT). Percentile clipping is the
+# textbook outlier fix, but it MEASURED WORSE here: on overfit-trained
+# synthetic models (benchmarks/knob_accuracy.py) yolov3 int8 lost 0.21
+# AP with abs-max vs 0.68 AP at the 99.9th percentile — with saturated
+# detector activations the top 0.1% are the OBJECT EVIDENCE (peak
+# objectness/class activations), not noise, and clipping them at 127
+# destroys exactly the scores that rank detections. Models with true
+# activation outliers can opt in per call:
+# quantize_model(..., percentile=99.9).
+CALIB_PERCENTILE = 100.0
+
+
 class _CalibBE:
     """Folded-float forward; `toq` records abs-maxima and passes the
     float tensor through unchanged."""
 
-    def __init__(self, compute_dtype):
+    def __init__(self, compute_dtype, percentile: float = CALIB_PERCENTILE):
         self.dt = compute_dtype
+        self.percentile = float(percentile)
         self.maxes: dict[str, jnp.ndarray] = {}
 
     def toq(self, key: str, y):
-        self.maxes[key] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        yf = jnp.abs(y.astype(jnp.float32)).ravel()
+        if self.percentile >= 100.0:
+            self.maxes[key] = jnp.max(yf)
+        else:
+            # strided subsample caps the sort at ~1M elements — the
+            # tail percentile estimate is stable far below that
+            stride = max(1, yf.size // (1 << 20))
+            self.maxes[key] = jnp.percentile(yf[::stride], self.percentile)
         return y
 
     def conv(self, f: Params, x, *, stride: int = 1):
@@ -395,7 +417,8 @@ class QuantizedResnetParams:
 
 
 def calibrate(cfg, params: Params, batches: Iterable[np.ndarray], *,
-              _folded=None) -> dict[str, float]:
+              _folded=None,
+              percentile: float = CALIB_PERCENTILE) -> dict[str, float]:
     if _folded is not None:
         qb, qf, qh = _folded
     else:
@@ -405,7 +428,7 @@ def calibrate(cfg, params: Params, batches: Iterable[np.ndarray], *,
 
     @jax.jit
     def one(x):
-        be = _CalibBE(cfg.compute_dtype)
+        be = _CalibBE(cfg.compute_dtype, percentile)
         y = _prologue(params["backbone"], x, cfg.compute_dtype)
         _region(be, qb, qf, qh, y, cfg=cfg)
         return be.maxes
@@ -468,14 +491,17 @@ def _fold_head_float(hd: Params, family: str) -> Params:
 
 
 def quantize_model(cfg, params: Params,
-                   calib_batches: Iterable[np.ndarray]) -> QuantizedResnetParams:
+                   calib_batches: Iterable[np.ndarray],
+                   *, percentile: float = CALIB_PERCENTILE
+                   ) -> QuantizedResnetParams:
     if cfg.family not in RESNET_QUANT_FAMILIES:
         raise ValueError(f"quant_resnet supports {RESNET_QUANT_FAMILIES}, "
                          f"got family '{cfg.family}'")
     ft = _fold_only(params["backbone"])
     ff = _fold_fpn_float(params["fpn"])
     fh = _fold_head_float(params["head"], cfg.family)
-    maxes = calibrate(cfg, params, calib_batches, _folded=(ft, ff, fh))
+    maxes = calibrate(cfg, params, calib_batches, _folded=(ft, ff, fh),
+                      percentile=percentile)
     qb = _prep_backbone(ft)
     return QuantizedResnetParams(
         backbone_float={"stem": params["backbone"]["stem"]},
