@@ -21,6 +21,18 @@ bench.py two-buffer scan protocol):
   fused      conv → bn_leaky_train_fused (custom_vjp)
   evalbn     conv → batch_norm(train=False) → leaky (traffic floor)
 
+RESULT — recorded NEGATIVE (v5e, batch 32, 208², C=128, 4 layers):
+evalbn 56.66 ms, autodiff 61.48, fused 60.59. Train-BN adds 4.8 ms of
+backward over the eval-BN floor and the hand-fused two-pass backward
+recovers only 0.9 ms (19%) of it — XLA's autodiff already fuses the
+BN reductions close to their traffic floor. Gradients agree with
+autodiff to 1e-6 relative in f32 (the in-run bf16 4-layer comparison
+shows only compounded rounding noise), so the experiment measured the
+real thing. Remaining upside for a Pallas conv+BN+leaky backward is
+bounded by the 4.8 ms margin on a ~61 ms chain step (<8%), with the
+conv backward itself — where XLA's emitter is strongest — making up
+the rest; not worth the engineering risk. NOT integrated.
+
 Run (TPU): python benchmarks/bn_bwd_experiments.py
 Appends one JSON line to benchmarks/bn_bwd_experiments.json.
 """
@@ -98,7 +110,11 @@ def main() -> None:
     batch, s, c = 32, 208, 128
     layers = 4
     rng = np.random.RandomState(0)
-    x0 = jnp.asarray(rng.randn(batch, s, s, c).astype(np.float32)).astype(dtype)
+    # generate ON DEVICE: a host-staged (32,208,208,128) f32 exceeds
+    # the axon transport's request-body limit (HTTP 413)
+    x0 = jax.jit(lambda k: jax.random.normal(
+        k, (batch, s, s, c), jnp.float32).astype(dtype))(
+        jax.random.PRNGKey(0))
     params = {
         f"l{i}": {
             "w": jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05),
@@ -139,9 +155,12 @@ def main() -> None:
         assert np.isfinite(acc)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    # gradient equality first (same dtype/backend as the bench)
+    # gradient equality first (same dtype/backend as the bench).
+    # x0 must be an ARGUMENT — closing over it bakes a 350 MB constant
+    # into the HLO and the remote-compile endpoint rejects the body.
     def grads(mode):
-        return jax.jit(jax.grad(lambda pp: chain(pp, x0, mode)))(params)
+        return jax.jit(jax.grad(
+            lambda pp, x: chain(pp, x, mode)))(params, x0)
 
     ga, gf = grads("autodiff"), grads("fused")
     import jax.tree_util as jtu
