@@ -229,7 +229,7 @@ def _torch_trunk_pyramid(trunk, state, img):
 
 @pytest.mark.parametrize("model_name,layers", [
     ("retinanet", (3, 4, 6, 3)),
-    pytest.param("retinanet_r101", (3, 4, 23, 3), marks=pytest.mark.slow),
+    ("retinanet_r101", (3, 4, 23, 3)),  # 17 s — fine in the default run
 ])
 def test_retinanet_map_parity(model_name, layers):
     from mydetection_tpu.models import retinanet
