@@ -111,8 +111,16 @@ def _tower(p: Params, x, *, compute_dtype, fused_gn: bool = False):
     v5e @608 batch 32: the 2-tower head drops 56.95 → 48.55 ms
     (benchmarks/fcos_gn_experiments.py; compiled max |Δ| vs this
     pure-jax path 1.7e-6 f32). Inference-only — the kernel has no VJP,
-    so training keeps the XLA path (registry gates on `train`)."""
-    if fused_gn:
+    so training keeps the XLA path (registry gates on `train`).
+
+    Batch-size gate (shape is static at trace time): at batch 1 the 40
+    per-image kernel invocations (8 tower GNs × 5 levels) don't
+    pipeline and their fixed dispatch overhead DOUBLES single-image
+    latency (measured 2.95 → 5.8 ms @608); from batch 4 up the grid
+    amortizes and the kernel wins (10.2 → 9.97 ms @b4, 14.2 → 13.96
+    @b8, 54.7 → 49.7 @b32). Each batch bucket compiles its own graph,
+    so the gate picks the right path per bucket at zero runtime cost."""
+    if fused_gn and x.shape[0] >= 4:
         from mydetection_tpu.ops.pallas.gn_kernel import (
             bias_gn_relu_pallas_impl,
         )
