@@ -32,6 +32,11 @@ the streaming harness (benchmarks/streaming.py).
 vs_baseline = measured images/sec ÷ the CPU-reference throughput in
 benchmarks/cpu_baseline.json (same pipeline, CPU backend — the
 reference repo itself was not runnable, SURVEY.md §0/§6). Target ≥5.
+
+Noise band: ±1% run-to-run on the axon transport (measured across the
+r2–r4 repeated captures; e.g. 1751 → 1738.6 img/s r3→r4 with no change
+on the flagship path). Round-over-round deltas under ~2% are within
+noise; treat only larger moves as signal.
 """
 
 from __future__ import annotations

@@ -226,12 +226,22 @@ class Detector:
                  data_parallel: bool = False, quantized: bool | str = False,
                  calib_images: Sequence | None = None, pack_input: bool = False,
                  **config_overrides):
-        self.model: Model = get_model(model_name, **config_overrides)
-        self.cfg = self.model.config
         if use_pallas is None:
             # Pallas kernels compile on TPU; interpret elsewhere (tests force it).
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # use_pallas=False must restore the pure-JAX oracle path for
+        # EVERY Pallas kernel (ADVICE r4) — including the fused GN in
+        # GN-tower heads, which is baked into the model's forward at
+        # trace time rather than the postprocess. Thread it into the
+        # config unless the caller pinned fused_gn explicitly; the
+        # Mosaic kernel itself stays TPU-only (interpret mode is for
+        # tests that opt in via get_model(..., fused_gn=...)).
+        if "fused_gn" not in config_overrides:
+            config_overrides["fused_gn"] = (
+                use_pallas and jax.default_backend() == "tpu")
+        self.model: Model = get_model(model_name, **config_overrides)
+        self.cfg = self.model.config
         # Host-side S2D-2 input packing (darknet-backbone families):
         # the device graph consumes (B, S/2, S/2, 12) uint8 via
         # phase-folded stem weights (utils/image_ops.pack_s2d2 +

@@ -119,8 +119,18 @@ def _tower(p: Params, x, *, compute_dtype, fused_gn: bool = False):
     latency (measured 2.95 → 5.8 ms @608); from batch 4 up the grid
     amortizes and the kernel wins (10.2 → 9.97 ms @b4, 14.2 → 13.96
     @b8, 54.7 → 49.7 @b32). Each batch bucket compiles its own graph,
-    so the gate picks the right path per bucket at zero runtime cost."""
-    if fused_gn and x.shape[0] >= 4:
+    so the gate picks the right path per bucket at zero runtime cost.
+
+    VMEM gate (ADVICE r4): the kernel stages one whole (H·W, C) slab
+    per grid step with an f32 working set ~3× the slab (xf, xf², y)
+    plus the native-dtype in/out blocks; it was validated at ≤1024²
+    (P3 slab ≤16 MB → ≤50 MB working set) under a 100 MB
+    vmem_limit_bytes on v5e. Above a 64 MB working-set estimate
+    (P3 @ >1152² input, or smaller-VMEM generations' safety margin)
+    fall back to the XLA GN path rather than risk a Mosaic
+    compile-time VMEM overflow."""
+    hw_c_bytes = x.shape[1] * x.shape[2] * x.shape[3] * 4 * 3
+    if fused_gn and x.shape[0] >= 4 and hw_c_bytes <= 64 * 1024 * 1024:
         from mydetection_tpu.ops.pallas.gn_kernel import (
             bias_gn_relu_pallas_impl,
         )

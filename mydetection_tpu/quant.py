@@ -40,8 +40,10 @@ structure, so one walker serves both; entry point is
 Accuracy — MEASURED, not assumed (benchmarks/knob_accuracy.py:
 overfit-trained synthetic models, the available offline proxy and a
 PTQ worst case — saturated activations, extreme weight ranges): with
-real-image abs-max calibration (the default) int8 cost 0.09–0.26 AP
-across the families on that proxy; noise calibration measured far
+real-image abs-max calibration (the default) int8 cost +0.004 (rapid)
+to −0.345 AP (retinanet) on that proxy — worst on the deep-quantized
+BN-fold families (yolov3 −0.212, retinanet −0.345), near-neutral on
+rapid (+0.004); noise calibration measured far
 worse (up to total collapse on rapid) — calibrate on real images at
 the serving size. Percentile clipping (the textbook outlier fix)
 also measured WORSE than abs-max here — see CALIB_PERCENTILE. All

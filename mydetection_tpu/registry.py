@@ -64,6 +64,13 @@ class ModelConfig:
     # RetinaNet postprocess 9.6 → 5.4 ms. Set False for bit-exact
     # parity runs: Detector(..., approx_topk=False).
     approx_topk: bool = True
+    # Fused Pallas bias+GN+ReLU in GN-tower heads (fcos). None = auto:
+    # on when the backend is TPU at trace time (inference only).
+    # Detector threads its use_pallas flag here (ADVICE r4:
+    # use_pallas=False must restore the pure-JAX oracle path for EVERY
+    # Pallas kernel, GN included); an explicit
+    # Detector(fused_gn=...) / get_model(..., fused_gn=...) overrides.
+    fused_gn: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -422,10 +429,14 @@ def _build_fcos(cfg: ModelConfig) -> Model:
                           with_gate=not train and cfg.multi_label,
                           # fused Pallas bias+GN+ReLU (one HBM pass;
                           # 56.95 -> 48.55 ms on the 2-tower @608/b32
-                          # microbench): inference-only (no VJP) and
-                          # Mosaic-only (TPU backend)
+                          # microbench): inference-only here (training
+                          # routes through the custom-VJP pairing when
+                          # enabled) and Mosaic-only. cfg.fused_gn
+                          # None = auto (TPU backend); Detector threads
+                          # use_pallas into it (ADVICE r4).
                           fused_gn=not train
-                          and jax.default_backend() == "tpu")
+                          and (cfg.fused_gn if cfg.fused_gn is not None
+                               else jax.default_backend() == "tpu"))
         return head + (({"backbone": bu} if train else None),)
 
     def forward_dense(params, images, *, train: bool = False):

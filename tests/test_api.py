@@ -416,3 +416,20 @@ def test_detect_one_invariants_across_shapes_and_thresholds(detector):
                 assert (b[:, 3] >= b[:, 1] - 1e-3).all()
                 assert (d.classes >= 0).all()
                 assert (d.classes < detector.cfg.num_classes).all()
+
+
+def test_use_pallas_false_disables_fused_gn():
+    """ADVICE r4 (medium): Detector(use_pallas=False) must restore the
+    pure-JAX oracle path for EVERY Pallas kernel — including the fused
+    GN baked into the FCOS forward at trace time. An explicit
+    fused_gn override wins over the threaded flag."""
+    det = Detector(model_name="fcos", input_size=64, num_classes=4,
+                   use_pallas=False)
+    assert det.cfg.fused_gn is False
+    det2 = Detector(model_name="fcos", input_size=64, num_classes=4,
+                    use_pallas=False, fused_gn=True)
+    assert det2.cfg.fused_gn is True
+    # auto (use_pallas unset) keeps backend-auto behavior: None off-TPU
+    # resolution happens at trace time inside the registry gate
+    m = get_model("fcos", input_size=64, num_classes=4)
+    assert m.config.fused_gn is None
