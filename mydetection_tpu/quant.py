@@ -148,6 +148,9 @@ class _CalibBE:
         self.maxes: dict[str, jnp.ndarray] = {}
 
     def _rec(self, key: str, y):
+        """Record the key's statistic; returns the (possibly
+        transformed) activation so _FakeQuantBE can override this one
+        hook to inject simulated quantization at every requant point."""
         yf = jnp.abs(y.astype(jnp.float32)).ravel()
         if self.percentile >= 100.0:
             self.maxes[key] = jnp.max(yf)
@@ -156,25 +159,23 @@ class _CalibBE:
             # tail percentile estimate is stable far below that
             stride = max(1, yf.size // (1 << 20))
             self.maxes[key] = jnp.percentile(yf[::stride], self.percentile)
+        return y
 
 
     def entry(self, key, y):
-        self._rec(key, y)
-        return y
+        return self._rec(key, y)
 
     def cbl(self, key, f: Params, x, *, stride: int = 1):
         y = conv2d(x, f["wf"], stride=stride, compute_dtype=self.dt)
         y = leaky_relu(y + f["bias"].astype(y.dtype))
-        self._rec(key, y)
-        return y
+        return self._rec(key, y)
 
     def res_block(self, key, f: Params, x):
         r = self.cbl(key + "/c1", f["c1"], x)
         y = conv2d(r, f["c2"]["wf"], compute_dtype=self.dt)
         y = leaky_relu(y + f["c2"]["bias"].astype(y.dtype))
         y = x + y
-        self._rec(key + "/add", y)
-        return y
+        return self._rec(key + "/add", y)
 
     def res_stage(self, key, f: Params, x, nblocks: int):
         for bi in range(nblocks):
@@ -186,12 +187,64 @@ class _CalibBE:
 
     def concat(self, key, a, b):
         y = jnp.concatenate([a, b], axis=-1)
-        self._rec(key, y)
-        return y
+        return self._rec(key, y)
 
     def out(self, p: Params, x):
         y = conv2d(x, p["w"], compute_dtype=self.dt)
         return y + p["b"].astype(y.dtype)
+
+
+def _fq(y, s):
+    """Simulated int8 requantization: dequant(quant(y, s)), f32."""
+    return jnp.clip(jnp.round(y.astype(jnp.float32) / s), -127, 127) * s
+
+
+class _FakeQuantBE(_CalibBE):
+    """Float-domain walk with per-key SIMULATED activation quantization
+    (dequant∘quant at every requant point), each key gated by a traced
+    0/1 scalar — so ONE compiled graph serves every on/off pattern and
+    a per-layer sensitivity sweep costs one compile total
+    (benchmarks/int8_sensitivity.py; VERDICT r4 next #1).
+
+    Fidelity vs the real int8 path (`_QuantBE`): the real path's
+    int8×int8→int32 conv computes exactly conv(quant(x)·s, quant(w)·ws)
+    up to f32 epilogue rounding; simulating it as a float conv over
+    fake-quantized operands reproduces it to f32 accumulation error
+    (~1e-7 relative; pinned by tests/test_quant.py). Weight
+    quantization is simulated separately by blending the folded tree —
+    see `blend_weight_tree`."""
+
+    def __init__(self, compute_dtype, scales: dict, gates: dict):
+        super().__init__(compute_dtype)
+        self.scales = scales  # flat key → f32 scale (abs-max/127)
+        self.gates = gates    # flat key → traced scalar (1 = quantize)
+
+    def _rec(self, key: str, y):
+        g = self.gates[key]
+        return jnp.where(g > 0.5,
+                         _fq(y, self.scales[key]).astype(y.dtype), y)
+
+
+def blend_weight_tree(ft: Params, gate_of) -> Params:
+    """Folded-float tree → same tree with each conv leaf's 'wf'
+    replaced by where(gate, dequant(per-channel int8 wf), wf).
+
+    gate_of: leaf path string (e.g. 'stage2/res0/c1') → traced 0/1
+    scalar. Leaves without 'wf' (head 'out' convs {'w','b'}, GN params)
+    pass through — they stay float in the real int8 path too."""
+
+    def walk(node, path):
+        if isinstance(node, dict) and "wf" in node:
+            wq, ws = quantize_weight(node["wf"])
+            wfq = (wq.astype(jnp.float32) * ws).astype(node["wf"].dtype)
+            g = gate_of(path)
+            return {**node, "wf": jnp.where(g > 0.5, wfq, node["wf"])}
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}/{k}" if path else k)
+                    for k, v in node.items()}
+        return node
+
+    return walk(ft, "")
 
 
 class _QuantBE:

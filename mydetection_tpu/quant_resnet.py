@@ -131,6 +131,26 @@ class _CalibBE:
         return xr
 
 
+class _FakeQuantBE(_CalibBE):
+    """Float-domain walk with per-key SIMULATED activation
+    quantization, gated by traced 0/1 scalars — the ResNet-FPN
+    counterpart of quant._FakeQuantBE (see its docstring; one compiled
+    graph serves every on/off pattern for the sensitivity sweep).
+    Weight simulation: quant.blend_weight_tree over the folded trees."""
+
+    def __init__(self, compute_dtype, scales: dict, gates: dict):
+        super().__init__(compute_dtype)
+        self.scales = scales
+        self.gates = gates
+
+    def toq(self, key: str, y):
+        from mydetection_tpu.quant import _fq
+
+        g = self.gates[key]
+        return jnp.where(g > 0.5,
+                         _fq(y, self.scales[key]).astype(y.dtype), y)
+
+
 class _QuantBE:
     """int8 forward; handles are (xq int8, scale f32 scalar)."""
 

@@ -178,3 +178,53 @@ def test_detector_quantized_end_to_end(small_yolo):
         ious = np.asarray(pairwise_iou(jnp.asarray(df.boxes_xyxy[:5]),
                                        jnp.asarray(dq.boxes_xyxy)))
         assert float(ious.max(axis=1).min()) > 0.5
+
+
+def test_fakequant_gates_off_is_float_and_on_is_int8(small_yolo):
+    """The sensitivity-sweep simulation (_FakeQuantBE +
+    blend_weight_tree) is pinned at both ends: all gates OFF
+    reproduces the folded-float chain bit-for-bit (jnp.where passes y
+    through), and all gates ON tracks the REAL int8 chain
+    (`forward_raw`). The ON leg cannot be bitwise: the real path
+    accumulates int32 exactly while the simulation's f32 conv rounds,
+    and values landing on round-to-nearest boundaries flip by one
+    quantum, cascading — on THIS random-init net (activations explode
+    to ~8e4 through 50 layers) that compounds to a few percent
+    rel-RMS. The binding fidelity gate is AP-level: the sensitivity
+    sweep (benchmarks/int8_sensitivity.py) records all-gates-on
+    simulated AP next to the real int8 path's AP on the trained proxy
+    and they must agree to ~0.01 AP."""
+    model, params, batches, qp = small_yolo
+    imgs = jnp.asarray(batches[0])
+    bt, ht = quant._fold_region(params)
+    maxes = quant.calibrate(params, batches, compute_dtype=jnp.float32,
+                            _folded=(bt, ht))
+    scales = {k: jnp.float32(v / 127.0 + 1e-12) for k, v in maxes.items()}
+
+    def run(gate_val):
+        gates = {k: jnp.float32(gate_val) for k in scales}
+        btb = quant.blend_weight_tree(bt, lambda p: jnp.float32(gate_val))
+        htb = quant.blend_weight_tree(ht, lambda p: jnp.float32(gate_val))
+        be = quant._FakeQuantBE(jnp.float32, scales, gates)
+        y = quant._prologue(params["backbone"], imgs, jnp.float32)
+        return quant._region(be, btb, htb, y)
+
+    off = run(0.0)
+    be_f = quant._CalibBE(jnp.float32)
+    y0 = quant._prologue(params["backbone"], imgs, jnp.float32)
+    ref_float = quant._region(be_f, bt, ht, y0)
+    for a, b in zip(off, ref_float):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    on = run(1.0)
+    real = quant.forward_raw(qp, imgs, compute_dtype=jnp.float32)
+    for a, b in zip(on, real):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        rel_rms = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert cos >= 0.99, cos
+        assert rel_rms <= 0.15, rel_rms
+    # and the ON leg is NOT the float chain (the gates do something)
+    d0 = np.asarray(on[0], np.float64) - np.asarray(off[0], np.float64)
+    assert np.max(np.abs(d0)) > 0.0

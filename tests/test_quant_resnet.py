@@ -184,3 +184,48 @@ def test_detector_quantized_retinanet_end_to_end(small_retinanet):
     # kept top-100 sets reshuffle under quantization noise; require a
     # majority of the float top-5 to be located by the int8 pipeline
     assert int((ious.max(axis=1) > 0.5).sum()) >= 3
+
+
+def test_fakequant_gates_off_is_float_and_on_is_int8(small_retinanet):
+    """ResNet-FPN counterpart of tests/test_quant.py's fake-quant pin:
+    all gates OFF reproduces the folded-float walk bit-for-bit; all
+    gates ON tracks the real int8 chain (cos/rel-RMS bounds — bitwise
+    is unattainable, see the darknet test's docstring; the binding
+    fidelity gate is the AP-level cross-check recorded by
+    benchmarks/int8_sensitivity.py)."""
+    model, params, batches, qp = small_retinanet
+    cfg = model.config
+    imgs = jnp.asarray(batches[0])
+    ft = quant_resnet._fold_only(params["backbone"])
+    ff = quant_resnet._fold_fpn_float(params["fpn"])
+    fh = quant_resnet._fold_head_float(params["head"], cfg.family)
+    maxes = quant_resnet.calibrate(cfg, params, batches,
+                                   _folded=(ft, ff, fh))
+    scales = {k: jnp.float32(v / 127.0 + 1e-12) for k, v in maxes.items()}
+
+    def run(gate_val):
+        g = jnp.float32(gate_val)
+        gates = {k: g for k in scales}
+        ftb = quant.blend_weight_tree(ft, lambda p: g)
+        ffb = quant.blend_weight_tree(ff, lambda p: g)
+        fhb = quant.blend_weight_tree(fh, lambda p: g)
+        be = quant_resnet._FakeQuantBE(jnp.float32, scales, gates)
+        y = quant_resnet._prologue(params["backbone"], imgs, jnp.float32)
+        return quant_resnet._region(be, ftb, ffb, fhb, y, cfg=cfg)
+
+    off = run(0.0)
+    be_f = quant_resnet._CalibBE(jnp.float32)
+    y0 = quant_resnet._prologue(params["backbone"], imgs, jnp.float32)
+    ref = quant_resnet._region(be_f, ft, ff, fh, y0, cfg=cfg)
+    for a, b in zip(off, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    on = run(1.0)
+    real = quant_resnet.forward_raw(qp, imgs, cfg=cfg)
+    for a, b in zip(on, real):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        rel_rms = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert cos >= 0.99, cos
+        assert rel_rms <= 0.15, rel_rms
