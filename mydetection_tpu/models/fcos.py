@@ -110,8 +110,11 @@ def _tower(p: Params, x, *, compute_dtype, fused_gn: bool = False):
     pass per image instead of XLA's ~3 un-fusable passes. Measured on
     v5e @608 batch 32: the 2-tower head drops 56.95 → 48.55 ms
     (benchmarks/fcos_gn_experiments.py; compiled max |Δ| vs this
-    pure-jax path 1.7e-6 f32). Inference-only — the kernel has no VJP,
-    so training keeps the XLA path (registry gates on `train`).
+    pure-jax path 1.7e-6 f32). Trainable since round 5: the call
+    routes through `bias_gn_relu_trainable` (custom_vjp pairing the
+    same forward with a fused single-pass backward kernel, gradients
+    oracle-pinned in tests/test_fcos.py), so the registry no longer
+    gates on `train`.
 
     Batch-size gate (shape is static at trace time): at batch 1 the 40
     per-image kernel invocations (8 tower GNs × 5 levels) don't
@@ -132,14 +135,17 @@ def _tower(p: Params, x, *, compute_dtype, fused_gn: bool = False):
     hw_c_bytes = x.shape[1] * x.shape[2] * x.shape[3] * 4 * 3
     if fused_gn and x.shape[0] >= 4 and hw_c_bytes <= 64 * 1024 * 1024:
         from mydetection_tpu.ops.pallas.gn_kernel import (
-            bias_gn_relu_pallas_impl,
+            bias_gn_relu_trainable,
         )
         for i in range(4):
             w = p[f"conv{i}"]
             x = conv2d(x, w["w"], compute_dtype=compute_dtype)
             gn = p[f"gn{i}"]
-            x = bias_gn_relu_pallas_impl(x, w["b"], gn["scale"], gn["bias"],
-                                         groups=GN_GROUPS)
+            # differentiable wrapper: the primal is the same fused
+            # kernel (zero inference cost); under jax.grad it pairs
+            # with the fused single-pass backward (custom_vjp)
+            x = bias_gn_relu_trainable(x, w["b"], gn["scale"], gn["bias"],
+                                       groups=GN_GROUPS)
         return x
     for i in range(4):
         w = p[f"conv{i}"]

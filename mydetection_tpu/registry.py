@@ -429,14 +429,13 @@ def _build_fcos(cfg: ModelConfig) -> Model:
                           with_gate=not train and cfg.multi_label,
                           # fused Pallas bias+GN+ReLU (one HBM pass;
                           # 56.95 -> 48.55 ms on the 2-tower @608/b32
-                          # microbench): inference-only here (training
-                          # routes through the custom-VJP pairing when
-                          # enabled) and Mosaic-only. cfg.fused_gn
+                          # microbench), Mosaic-only. Differentiable
+                          # since round 5 (custom-VJP fused backward),
+                          # so training uses it too. cfg.fused_gn
                           # None = auto (TPU backend); Detector threads
                           # use_pallas into it (ADVICE r4).
-                          fused_gn=not train
-                          and (cfg.fused_gn if cfg.fused_gn is not None
-                               else jax.default_backend() == "tpu"))
+                          fused_gn=(cfg.fused_gn if cfg.fused_gn is not None
+                                    else jax.default_backend() == "tpu"))
         return head + (({"backbone": bu} if train else None),)
 
     def forward_dense(params, images, *, train: bool = False):

@@ -167,3 +167,80 @@ def test_gn_kernel_matches_oracle():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2 if dtype == jnp.bfloat16 else 1e-5,
             atol=2e-2 if dtype == jnp.bfloat16 else 1e-5)
+
+
+def test_gn_trainable_value_and_grads_match_oracle():
+    """The custom-VJP fused GN (bias_gn_relu_trainable) must match the
+    pure-jax tower step in BOTH value and all four gradients (dx,
+    dbias, dscale, dshift) — the analytic fused backward
+    (ops/pallas/gn_kernel._gn_bwd_kernel) vs jax autodiff of
+    relu(group_norm(x + b)). Interpret mode here; the compiled train
+    step delta is measured by benchmarks/fcos_gn_experiments.py."""
+    from mydetection_tpu.models.fcos import group_norm
+    from mydetection_tpu.ops.pallas.gn_kernel import bias_gn_relu_trainable
+
+    rng = np.random.RandomState(1)
+    b, h, w, c, g = 2, 7, 9, 64, 32
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 2)
+    bias = jnp.asarray(rng.randn(c).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 2, c).astype(np.float32))
+    shift = jnp.asarray(rng.randn(c).astype(np.float32))
+    ct = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    def loss_oracle(x, bias, scale, shift):
+        xb = x + bias
+        y = jnp.maximum(group_norm(xb, {"scale": scale, "bias": shift},
+                                   groups=g), 0.0)
+        return jnp.sum(y * ct)
+
+    def loss_fused(x, bias, scale, shift):
+        y = bias_gn_relu_trainable(x, bias, scale, shift, groups=g,
+                                   interpret=True)
+        return jnp.sum(y * ct)
+
+    v0, g0 = jax.value_and_grad(loss_oracle, argnums=(0, 1, 2, 3))(
+        x, bias, scale, shift)
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        x, bias, scale, shift)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for name, a, b_ in zip(("dx", "dbias", "dscale", "dshift"), g1, g0):
+        ref = np.asarray(b_, np.float64)
+        got = np.asarray(a, np.float64)
+        denom = np.max(np.abs(ref)) + 1e-8
+        np.testing.assert_allclose(got / denom, ref / denom,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_gn_trainable_bf16_grads_close():
+    """bf16 in/out (the training compute dtype on TPU): gradients stay
+    within bf16 rounding of the f32 oracle."""
+    from mydetection_tpu.models.fcos import group_norm
+    from mydetection_tpu.ops.pallas.gn_kernel import bias_gn_relu_trainable
+
+    rng = np.random.RandomState(2)
+    b, h, w, c, g = 2, 5, 6, 64, 32
+    xf = rng.randn(b, h, w, c).astype(np.float32)
+    x = jnp.asarray(xf, jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(c).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 2, c).astype(np.float32))
+    shift = jnp.asarray(rng.randn(c).astype(np.float32))
+
+    def loss_fused(x, bias, scale, shift):
+        y = bias_gn_relu_trainable(x, bias, scale, shift, groups=g,
+                                   interpret=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_oracle(x, bias, scale, shift):
+        xb = x + bias.astype(x.dtype)
+        y = jnp.maximum(group_norm(xb, {"scale": scale, "bias": shift},
+                                   groups=g), 0.0)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(1, 2, 3))(x, bias, scale, shift)
+    go = jax.grad(loss_oracle, argnums=(1, 2, 3))(x, bias, scale, shift)
+    for name, a, b_ in zip(("dbias", "dscale", "dshift"), gf, go):
+        ref = np.asarray(b_, np.float64)
+        got = np.asarray(a, np.float64)
+        denom = np.max(np.abs(ref)) + 1e-8
+        np.testing.assert_allclose(got / denom, ref / denom, atol=2e-2,
+                                   err_msg=name)
