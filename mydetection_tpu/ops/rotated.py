@@ -48,10 +48,15 @@ EPS_INSIDE = 1e-3
 EPS_SEG = 1e-4
 
 
-def box_corners(boxes: jnp.ndarray) -> jnp.ndarray:
-    """Corners of rotated boxes (..., 5) -> (..., 4, 2), CCW order."""
+def box_corners(boxes: jnp.ndarray, trig=None) -> jnp.ndarray:
+    """Corners of rotated boxes (..., 5) -> (..., 4, 2), CCW order.
+
+    trig: optional precomputed (cos θ, sin θ) matching boxes[..., 4] —
+    the pairwise NMS path evaluates cos/sin once per BOX and
+    broadcasts, instead of once per PAIR (bitwise-identical values;
+    transcendentals are the dominant per-pair cost on the VPU)."""
     cx, cy, w, h, th = (boxes[..., i] for i in range(5))
-    cos, sin = jnp.cos(th), jnp.sin(th)
+    cos, sin = trig if trig is not None else (jnp.cos(th), jnp.sin(th))
     dx = jnp.stack([-w, w, w, -w], axis=-1) * 0.5  # (..., 4)
     dy = jnp.stack([-h, -h, h, h], axis=-1) * 0.5
     x = cx[..., None] + dx * cos[..., None] - dy * sin[..., None]
@@ -124,10 +129,13 @@ def rotated_intersection_area(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.nda
     return jnp.where(cnt >= 3, area, 0.0)
 
 
-def _clipped_edge_contrib(corners: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarray:
+def _clipped_edge_contrib(corners: jnp.ndarray, other: jnp.ndarray,
+                          trig=None) -> jnp.ndarray:
     """Shoelace line-integral of `corners`' edges clipped to box `other`.
 
-    corners (..., 4, 2) CCW; other (..., 5). For each edge p0→p1, the
+    corners (..., 4, 2) CCW; other (..., 5); trig: optional
+    precomputed (cos, sin) of other's θ (see box_corners). For each
+    edge p0→p1, the
     portion inside `other` is a single parametric interval [t0, t1]
     (convexity), found by Liang–Barsky clipping in the box frame; its
     boundary-integral contribution is cross(p(t0), p(t1))/2. Returns
@@ -140,7 +148,10 @@ def _clipped_edge_contrib(corners: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarr
     p0 = corners                       # (..., 4, 2)
     p1 = jnp.roll(corners, -1, axis=-2)
     cx, cy, w, h, th = (other[..., i][..., None] for i in range(5))
-    cos, sin = jnp.cos(th), jnp.sin(th)
+    if trig is not None:
+        cos, sin = trig[0][..., None], trig[1][..., None]
+    else:
+        cos, sin = jnp.cos(th), jnp.sin(th)
 
     def to_frame(p):
         rx = p[..., 0] - cx
@@ -219,7 +230,8 @@ def _clipped_edge_contrib(corners: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarr
     return 0.5 * jnp.sum(weight * (gax * gby - gbx * gay), axis=-1)
 
 
-def rotated_intersection_area_lb(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
+def rotated_intersection_area_lb(box_a: jnp.ndarray, box_b: jnp.ndarray, *,
+                                 trig_a=None, trig_b=None) -> jnp.ndarray:
     """Intersection area via per-edge Liang–Barsky clipping (sort-free).
 
     The CCW boundary of A∩B decomposes into the parts of A's edges
@@ -244,27 +256,42 @@ def rotated_intersection_area_lb(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.
     shift = jnp.concatenate([mid, jnp.zeros_like(box_a[..., 2:5])], axis=-1)
     box_a = box_a - shift
     box_b = box_b - shift
-    ca, cb = box_corners(box_a), box_corners(box_b)
-    area = jnp.abs(_clipped_edge_contrib(ca, box_b)
-                   + _clipped_edge_contrib(cb, box_a))
+    ca = box_corners(box_a, trig=trig_a)
+    cb = box_corners(box_b, trig=trig_b)
+    area = jnp.abs(_clipped_edge_contrib(ca, box_b, trig=trig_b)
+                   + _clipped_edge_contrib(cb, box_a, trig=trig_a))
     return jnp.minimum(area, jnp.minimum(box_a[..., 2] * box_a[..., 3],
                                          box_b[..., 2] * box_b[..., 3]))
 
 
-def rotated_iou_impl(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
+def rotated_iou_impl(box_a: jnp.ndarray, box_b: jnp.ndarray, *,
+                     trig_a=None, trig_b=None) -> jnp.ndarray:
     """Elementwise rotated IoU, boxes (..., 5) -> (...)."""
-    inter = rotated_intersection_area_lb(box_a, box_b)
+    inter = rotated_intersection_area_lb(box_a, box_b,
+                                         trig_a=trig_a, trig_b=trig_b)
     area_a = box_a[..., 2] * box_a[..., 3]
     area_b = box_b[..., 2] * box_b[..., 3]
     return inter / jnp.maximum(area_a + area_b - inter, EPS)
 
 
 def pairwise_rotated_iou_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Rotated IoU matrix (N, 5) x (M, 5) -> (N, M)."""
+    """Rotated IoU matrix (N, 5) x (M, 5) -> (N, M).
+
+    cos/sin are evaluated once per BOX (N+M transcendental pairs) and
+    broadcast to the pair grid, not once per pair (the old broadcast
+    path evaluated 8 per pair — measured the dominant cost of the
+    512×512 NMS matrix on v5e). Values are bitwise-identical: the same
+    scalar cos/sin applied to the same θ, just computed pre-broadcast."""
     n, m = a.shape[0], b.shape[0]
+    cos_a, sin_a = jnp.cos(a[:, 4]), jnp.sin(a[:, 4])
+    cos_b, sin_b = jnp.cos(b[:, 4]), jnp.sin(b[:, 4])
     aa = jnp.broadcast_to(a[:, None, :], (n, m, 5))
     bb = jnp.broadcast_to(b[None, :, :], (n, m, 5))
-    return rotated_iou_impl(aa, bb)
+    trig_a = (jnp.broadcast_to(cos_a[:, None], (n, m)),
+              jnp.broadcast_to(sin_a[:, None], (n, m)))
+    trig_b = (jnp.broadcast_to(cos_b[None, :], (n, m)),
+              jnp.broadcast_to(sin_b[None, :], (n, m)))
+    return rotated_iou_impl(aa, bb, trig_a=trig_a, trig_b=trig_b)
 
 
 # Standalone jitted wrappers; use *_impl inside larger traced graphs.

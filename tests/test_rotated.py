@@ -238,3 +238,28 @@ def test_near_face_tolerance_window_exact():
         b = jnp.array([50.0, 50.0, 100.0, 100.0, 0.0])
         got = float(rotated_intersection_area_lb(a, b))
         assert abs(got - 100.0 * (100.0 - delta)) < 0.1
+
+
+def test_pairwise_trig_precompute_is_bitwise_identical():
+    """pairwise_rotated_iou evaluates cos/sin once per box and
+    broadcasts; the result must be BITWISE identical to the naive
+    per-pair evaluation (same scalar fn, same θ values — this is a
+    pure cost refactor, not an approximation)."""
+    import jax.numpy as jnp
+
+    from mydetection_tpu.ops import rotated as R
+
+    rng = np.random.RandomState(7)
+    n, m = 33, 17
+    a = np.stack([rng.uniform(0, 512, n), rng.uniform(0, 512, n),
+                  rng.uniform(8, 120, n), rng.uniform(8, 120, n),
+                  rng.uniform(-np.pi / 2, np.pi / 2, n)], 1).astype(np.float32)
+    b = np.stack([rng.uniform(0, 512, m), rng.uniform(0, 512, m),
+                  rng.uniform(8, 120, m), rng.uniform(8, 120, m),
+                  rng.uniform(-np.pi / 2, np.pi / 2, m)], 1).astype(np.float32)
+    got = np.asarray(R.pairwise_rotated_iou_impl(jnp.asarray(a),
+                                                 jnp.asarray(b)))
+    aa = jnp.broadcast_to(jnp.asarray(a)[:, None, :], (n, m, 5))
+    bb = jnp.broadcast_to(jnp.asarray(b)[None, :, :], (n, m, 5))
+    ref = np.asarray(R.rotated_iou_impl(aa, bb))  # per-pair trig
+    np.testing.assert_array_equal(got, ref)
