@@ -208,6 +208,13 @@ def run_family(family: str, spec: dict, *, eval_conf: float = 0.005,
                                 calib_images=imgs[:16]),
         "int8_calib_noise": dict(approx_topk=False, quantized=True,
                                  calib_images=None),
+        # serve.py --coalesce-sizes serves small-size requests on the
+        # larger canvas: measure that policy's accuracy effect by
+        # evaluating the size-S-trained proxy at 1.5x S (the letterbox
+        # upsample shifts the object-scale distribution)
+        "serve_at_larger_size": dict(compute_dtype=jnp.float32,
+                                     approx_topk=False,
+                                     input_size=int(spec["size"] * 1.5)),
     }
     out = {"spec": {k: v for k, v in spec.items()}, "train": losses,
            "eval_conf": eval_conf, "variants": {}}
@@ -222,7 +229,7 @@ def run_family(family: str, spec: dict, *, eval_conf: float = 0.005,
                 and base_ap is not None):
             continue  # deterministic retrain reproduces the base
         try:
-            det = Detector(**common, **kw)
+            det = Detector(**{**common, **kw})
             stats = ev(det, imgs, gt, eval_conf)
         except Exception as e:
             out["variants"][vname] = {"error": repr(e)}
