@@ -174,7 +174,7 @@ class _QuantBE:
         return xq.astype(jnp.float32) * xs
 
     def out(self, p: Params, xr):
-        x = self.deq(xr).astype(self.dt)
+        x = (self.deq(xr) if isinstance(xr, tuple) else xr).astype(self.dt)
         y = conv2d(x, p["w"], compute_dtype=self.dt)
         return y + p["b"].astype(y.dtype)
 
@@ -272,6 +272,12 @@ def _region(be, qb: Params, qf: Params, qh: Params, y, *, cfg):
             y = be.conv(t[f"conv{i}"], xr)
             if f"gn{i}" in t:  # FCOS towers: GN in f32 between conv/ReLU
                 y = fcos_mod.group_norm(y, t[f"gn{i}"])
+            if i == 3:
+                # the tower output's only consumers are the FLOAT
+                # head `out` convs — requantizing it here would cost
+                # accuracy for zero speed (quant._CalibBE.cbl_out;
+                # measured by the round-5 sensitivity sweep)
+                return _relu(y)
             xr = be.toq(f"{branch}/l{li}/c{i}", _relu(y))
         return xr
 
