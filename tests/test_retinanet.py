@@ -299,3 +299,37 @@ def test_onehot_gather_pins_highest_precision():
         "onehot_gather's dot_general lost HIGHEST precision on the "
         "table operand — on TPU this silently truncates gathered f32 "
         f"values to bf16. Lowered dots:\n" + "\n".join(dots))
+
+
+def test_conv_chain_kernel_matches_oracle():
+    """The fused tower-chain kernel (ops/pallas/tower_kernel.py,
+    interpret mode; hardware timing in benchmarks/tower_kernel_bench)
+    must reproduce the pure-jax 4x [conv3x3+bias+relu] chain. f32 is
+    ~exact (the kernel's shifted-GEMM decomposition reassociates the
+    9-tap sum); bf16 within one rounding step (the kernel keeps the
+    accumulator f32 through bias+ReLU where XLA rounds the conv
+    output first — at least as accurate)."""
+    import numpy as np
+
+    from mydetection_tpu.models.layers import conv2d
+    from mydetection_tpu.ops.pallas.tower_kernel import (
+        conv3x3_chain_pallas_impl,
+    )
+
+    rng = np.random.RandomState(0)
+    b, h, w, c, layers = 2, 9, 13, 64, 4
+    for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.05)):
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), dtype)
+        ws = jnp.asarray(
+            (0.1 * rng.randn(layers, 3, 3, c, c)).astype(np.float32))
+        bs = jnp.asarray(rng.randn(layers, c).astype(np.float32))
+        ref = x
+        for li in range(layers):
+            ref = conv2d(ref, ws[li].astype(dtype))
+            ref = jnp.maximum(ref + bs[li].astype(ref.dtype), 0.0)
+        got = conv3x3_chain_pallas_impl(x, ws, bs, interpret=True)
+        assert got.dtype == x.dtype
+        r = np.asarray(ref, np.float32)
+        g = np.asarray(got, np.float32)
+        scale = np.max(np.abs(r)) + 1e-8
+        np.testing.assert_allclose(g / scale, r / scale, atol=atol)
