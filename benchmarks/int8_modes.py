@@ -222,15 +222,22 @@ def run_family(family: str, spec: dict) -> dict:
     dense_fn_for, _stats = build_mode_sim(family, cfg, params, calib)
 
     res: dict = {"spec": spec, "train": losses, "variants": {}}
+    # NOTE on the baseline: every mode below runs with WEIGHTS
+    # int8-quantized (blend gate 1.0) — that is the serving
+    # configuration being compared. The "float" row is therefore a
+    # weights-only-quantized baseline (acts float); the TRUE float AP
+    # for these proxies lives in int8_sensitivity.json's "float" row
+    # (trained identically: same seed/steps).
     base = None
     for mode in ("float", "sym", "asym", "sym_ch", "asym_ch"):
+        label = "weights_only" if mode == "float" else mode
         score = make_eval(family, cfg, dense_fn_for(mode), imgs, gt)
         ap = score({}, {})
         if mode == "float":
             base = ap
-        res["variants"][mode] = {"AP": round(ap, 4),
-                                 "dAP": round(ap - base, 4)}
-        print(f"#   {family}/{mode}: AP {ap:.4f} (dAP {ap - base:+.4f})",
+        res["variants"][label] = {"AP": round(ap, 4),
+                                  "dAP_vs_wonly": round(ap - base, 4)}
+        print(f"#   {family}/{label}: AP {ap:.4f} (dAP {ap - base:+.4f})",
               flush=True)
 
     # real int8 path, post-cbl_out (the shipping sym scheme)

@@ -93,10 +93,10 @@ def build_sim(family: str, cfg, params, calib_batches):
 
     if cfg.family in quant.QUANT_FAMILIES:  # darknet walker
         bt, ht = quant._fold_region(params)
-        maxes = quant.calibrate(params, calib_batches,
-                                compute_dtype=jnp.float32, _folded=(bt, ht))
-        scales = {k: jnp.float32(v / 127.0 + 1e-12)
-                  for k, v in maxes.items()}
+        ranges = quant.calibrate(params, calib_batches,
+                                 compute_dtype=jnp.float32, _folded=(bt, ht))
+        scales = {k: jnp.float32(max(abs(lo), abs(hi)) / 127.0 + 1e-12)
+                  for k, (lo, hi) in ranges.items()}
         wkeys: list[str] = []
         quant.blend_weight_tree(
             bt, lambda p: (wkeys.append(p), jnp.float32(0))[1])
@@ -116,9 +116,10 @@ def build_sim(family: str, cfg, params, calib_batches):
     ft = quant_resnet._fold_only(params["backbone"])
     ff = quant_resnet._fold_fpn_float(params["fpn"])
     fh = quant_resnet._fold_head_float(params["head"], cfg.family)
-    maxes = quant_resnet.calibrate(cfg, params, calib_batches,
-                                   _folded=(ft, ff, fh))
-    scales = {k: jnp.float32(v / 127.0 + 1e-12) for k, v in maxes.items()}
+    ranges = quant_resnet.calibrate(cfg, params, calib_batches,
+                                    _folded=(ft, ff, fh))
+    scales = {k: jnp.float32(max(abs(lo), abs(hi)) / 127.0 + 1e-12)
+              for k, (lo, hi) in ranges.items()}
     wkeys = []
     for tree in (ft, ff, fh):
         quant.blend_weight_tree(

@@ -17,11 +17,20 @@ Scheme (standard post-training quantization):
   * BN folded into conv weights/bias (exact affine fold, inference
     stats) — `fold_cbl`.
   * Weights: per-output-channel symmetric int8 (`wscale` (Cout,)).
-  * Activations: per-layer static symmetric scale from a calibration
-    pass (abs-max over user-supplied batches) — `calibrate`.
-  * int8 conv accumulates int32 on the MXU; epilogue dequantizes
-    (in_scale·wscale), adds the folded bias, applies LeakyReLU(0.1),
-    and requantizes with the next static scale.
+  * Activations: per-layer static AFFINE quantization (x ≈ s·xq + m0,
+    default since round 5): calibration records the signed (min, max)
+    range and the full range maps onto 256 levels. Leaky/ReLU
+    activations are heavily one-sided, so the old symmetric scheme
+    wasted most of the negative half — the mode sweep measured asym
+    +0.08…+0.19 AP over sym on every family
+    (benchmarks/int8_modes.json). `act_scheme="sym"` keeps the
+    symmetric scheme for A/B.
+  * int8 conv accumulates int32 on the MXU; the epilogue dequantizes
+    (in_scale·wscale), adds the zero-point correction
+    (m0·wscale·wsum — a per-out-channel CONSTANT, because the conv
+    input is border-padded with the zero-point so every tap has a
+    defined affine value), adds the folded bias, applies
+    LeakyReLU(0.1), and requantizes with the next static scale.
   * Residual adds and channel concats happen in the dequantized f32
     domain (still elementwise/fused), then requantize.
 
@@ -100,19 +109,63 @@ def quantize_weight(wf: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return wq, ws.astype(jnp.float32)
 
 
-def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, *, stride: int = 1) -> jnp.ndarray:
+def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, *, stride: int = 1,
+             pad_val=None) -> jnp.ndarray:
     """int8 NHWC × HWIO conv → int32, symmetric (k-1)//2 padding (the
-    same convention as layers.conv2d — stride-2 parity matters)."""
+    same convention as layers.conv2d — stride-2 parity matters).
+
+    pad_val: border fill in the int8 domain. For affine activations
+    (x = s·xq + m0) the float-conv's zero padding corresponds to
+    xq = −m0/s, NOT 0 — padding with that zero-point keeps the
+    per-output-channel dequant correction (m0·wscale·wsum, folded
+    into the epilogue) exact at the borders. None = plain zero pad
+    (symmetric scheme, m0 = 0)."""
     ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
+    if pad_val is not None and (ph or pw):
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                    constant_values=pad_val)
+        padding = [(0, 0), (0, 0)]
+    else:
+        padding = [(ph, ph), (pw, pw)]
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
-        padding=[(ph, ph), (pw, pw)],
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
 
 
-def _quant(y: jnp.ndarray, scale) -> jnp.ndarray:
-    return jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
+def _quant(y: jnp.ndarray, sm) -> jnp.ndarray:
+    """Float → int8 under the affine map x ≈ s·xq + m0.
+
+    sm: (2,) [scale, m0] (sym is the m0 = 0 special case). The int8
+    grid is the full −128..127; m0 = lo + 128·s centers the
+    calibrated [lo, hi] range onto it."""
+    s, m0 = sm[..., 0], sm[..., 1]
+    return jnp.clip(jnp.round((y - m0) / s), -128, 127).astype(jnp.int8)
+
+
+def _zero_point(sm) -> jnp.ndarray:
+    """int8 value representing float zero under sm (the pad value)."""
+    s, m0 = sm[..., 0], sm[..., 1]
+    return jnp.clip(jnp.round(-m0 / s), -128, 127).astype(jnp.int8)
+
+
+def _sm_of(lo, hi, scheme: str) -> np.ndarray:
+    """Calibrated (lo, hi) → [scale, m0] under the scheme.
+
+    asym (default since round 5): the full signed range maps onto 256
+    levels — measured +0.08…+0.19 AP over sym on every family
+    (benchmarks/int8_modes.json): leaky/ReLU activations are heavily
+    one-sided, so symmetric int8 wastes most of its negative half.
+    sym: the historical symmetric scheme (abs-max / 127, m0 = 0)."""
+    lo, hi = float(lo), float(hi)
+    if scheme == "asym":
+        s = (hi - lo) / 255.0 + 1e-12
+        return np.asarray([s, lo + 128.0 * s], np.float32)
+    if scheme == "sym":
+        return np.asarray([max(abs(lo), abs(hi)) / 127.0 + 1e-12, 0.0],
+                          np.float32)
+    raise ValueError(f"act_scheme must be 'asym' or 'sym', got {scheme!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -140,25 +193,32 @@ CALIB_PERCENTILE = 100.0
 
 
 class _CalibBE:
-    """Folded-float forward that records post-activation abs-maxima."""
+    """Folded-float forward that records post-activation ranges.
+
+    Records the signed (min, max) per requant key — the affine
+    ("asym") scheme maps that full range onto 256 levels; the "sym"
+    scheme derives abs-max from it (see `_sm_of`)."""
 
     def __init__(self, compute_dtype, percentile: float = CALIB_PERCENTILE):
         self.dt = compute_dtype
         self.percentile = float(percentile)
-        self.maxes: dict[str, jnp.ndarray] = {}
+        self.stats: dict[str, jnp.ndarray] = {}
 
     def _rec(self, key: str, y):
         """Record the key's statistic; returns the (possibly
         transformed) activation so _FakeQuantBE can override this one
         hook to inject simulated quantization at every requant point."""
-        yf = jnp.abs(y.astype(jnp.float32)).ravel()
+        yf = y.astype(jnp.float32).ravel()
         if self.percentile >= 100.0:
-            self.maxes[key] = jnp.max(yf)
+            self.stats[key] = jnp.stack([jnp.min(yf), jnp.max(yf)])
         else:
             # strided subsample caps the sort at ~1M elements — the
             # tail percentile estimate is stable far below that
             stride = max(1, yf.size // (1 << 20))
-            self.maxes[key] = jnp.percentile(yf[::stride], self.percentile)
+            sub = yf[::stride]
+            self.stats[key] = jnp.stack([
+                jnp.percentile(sub, 100.0 - self.percentile),
+                jnp.percentile(sub, self.percentile)])
         return y
 
 
@@ -259,7 +319,14 @@ def blend_weight_tree(ft: Params, gate_of) -> Params:
 
 
 class _QuantBE:
-    """int8 forward; activations are (xq int8, scale f32 scalar)."""
+    """int8 forward; activations are (xq int8, sm (2,) [scale, m0]).
+
+    Affine dequant x = s·xq + m0: the conv epilogue gains one
+    per-output-channel constant term m0·wscale·wsum (wsum = Σ wq over
+    taps×in-channels, stored at quantize time) and the conv input is
+    border-padded with the zero-point — both fold into the existing
+    fused epilogue / a cheap int8 pad; sym (m0 = 0, pad 0) is the
+    degenerate case of the same code."""
 
     def __init__(self, scales: dict, compute_dtype,
                  scan_blocks: bool | None = None):
@@ -268,19 +335,20 @@ class _QuantBE:
         self.scan = scan_blocks
 
     def entry(self, key, y):
-        s = self.s[key]
-        return _quant(y.astype(jnp.float32), s), s
+        sm = self.s[key]
+        return _quant(y.astype(jnp.float32), sm), sm
 
     def _deq_conv(self, q: Params, xr, *, stride: int = 1):
-        xq, xs = xr
-        acc = _conv_i8(xq, q["wq"], stride=stride)
-        return leaky_relu(acc.astype(jnp.float32) * (xs * q["wscale"])
-                          + q["bias"])
+        xq, sm = xr
+        s, m0 = sm[..., 0], sm[..., 1]
+        acc = _conv_i8(xq, q["wq"], stride=stride, pad_val=_zero_point(sm))
+        return leaky_relu(acc.astype(jnp.float32) * (s * q["wscale"])
+                          + m0 * q["wscale"] * q["wsum"] + q["bias"])
 
     def cbl(self, key, q: Params, xr, *, stride: int = 1):
         y = self._deq_conv(q, xr, stride=stride)
-        s = self.s[key]
-        return _quant(y, s), s
+        sm = self.s[key]
+        return _quant(y, sm), sm
 
     def cbl_out(self, key, q: Params, xr, *, stride: int = 1):
         # float output, no requant: the consumer is the float `out`
@@ -288,18 +356,20 @@ class _QuantBE:
         return self._deq_conv(q, xr, stride=stride)
 
     def _res_block_body(self, q: Params, xr, out_scales):
-        """out_scales: (2,) [conv1_out, post_add]."""
-        xq, xs = xr
-        rq = _quant(self._deq_conv(q["c1"], xr), out_scales[0])
-        acc = _conv_i8(rq, q["c2"]["wq"])
+        """out_scales: (2, 2) rows [conv1_out, post_add] of [s, m0]."""
+        xq, sm = xr
+        rsm = out_scales[0]
+        rq = _quant(self._deq_conv(q["c1"], xr), rsm)
+        acc = _conv_i8(rq, q["c2"]["wq"], pad_val=_zero_point(rsm))
         y = leaky_relu(acc.astype(jnp.float32)
-                       * (out_scales[0] * q["c2"]["wscale"])
+                       * (rsm[0] * q["c2"]["wscale"])
+                       + rsm[1] * q["c2"]["wscale"] * q["c2"]["wsum"]
                        + q["c2"]["bias"])
-        y = y + xq.astype(jnp.float32) * xs
+        y = y + (xq.astype(jnp.float32) * sm[..., 0] + sm[..., 1])
         return _quant(y, out_scales[1]), out_scales[1]
 
     def res_stage(self, key, q: Params, xr, nblocks: int):
-        scales = self.s[key + "/res"]  # (n, 2)
+        scales = self.s[key + "/res"]  # (n, 2, 2)
         if nblocks == 1 or not darknet._use_scan(self.scan):
             for bi in range(nblocks):
                 blk = jax.tree_util.tree_map(lambda l, bi=bi: l[bi],
@@ -315,21 +385,23 @@ class _QuantBE:
         return xr
 
     def up(self, xr):
-        xq, xs = xr
-        return upsample2x(xq), xs
+        xq, sm = xr
+        return upsample2x(xq), sm
 
     def concat(self, key, ar, br):
-        aq, as_ = ar
-        bq, bs = br
-        y = jnp.concatenate([aq.astype(jnp.float32) * as_,
-                             bq.astype(jnp.float32) * bs], axis=-1)
-        s = self.s[key]
-        return _quant(y, s), s
+        aq, asm = ar
+        bq, bsm = br
+        y = jnp.concatenate(
+            [aq.astype(jnp.float32) * asm[..., 0] + asm[..., 1],
+             bq.astype(jnp.float32) * bsm[..., 0] + bsm[..., 1]], axis=-1)
+        sm = self.s[key]
+        return _quant(y, sm), sm
 
     def out(self, p: Params, xr):
         if isinstance(xr, tuple):
-            xq, xs = xr
-            x = (xq.astype(jnp.float32) * xs).astype(self.dt)
+            xq, sm = xr
+            x = (xq.astype(jnp.float32) * sm[..., 0]
+                 + sm[..., 1]).astype(self.dt)
         else:  # float activation from cbl_out
             x = xr.astype(self.dt)
         y = conv2d(x, p["w"], compute_dtype=self.dt)
@@ -443,7 +515,12 @@ def _quantize_folded(bt: Params, ht: Params) -> tuple[Params, Params]:
 
     def qleaf(f: Params) -> Params:
         wq, ws = quantize_weight(f["wf"])
-        return {"wq": wq, "wscale": ws, "bias": f["bias"].astype(jnp.float32)}
+        # wsum = Σ wq over taps × in-channels, per out channel: the
+        # affine dequant's constant term m0·wscale·wsum (exact in f32:
+        # |wsum| ≤ 9·1024·127 < 2^24)
+        return {"wq": wq, "wscale": ws,
+                "wsum": jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2)),
+                "bias": f["bias"].astype(jnp.float32)}
 
     qb: Params = {}
     for si in (1, 2, 3, 4):
@@ -466,16 +543,17 @@ def _quantize_folded(bt: Params, ht: Params) -> tuple[Params, Params]:
     return qb, qh
 
 
-def _stack_scales(maxes: dict[str, float]) -> dict[str, Any]:
-    """Flat abs-max dict → scales dict (scalars; res stages stacked to
-    (n, 2) [conv1_out, post_add] for the scan body)."""
+def _stack_scales(ranges: dict[str, tuple], scheme: str) -> dict[str, Any]:
+    """Flat (lo, hi) dict → scales dict of (2,) [s, m0] pairs; res
+    stages stacked to (n, 2, 2) [conv1_out, post_add] rows for the
+    scan body."""
     scales: dict[str, Any] = {}
-    for k, v in maxes.items():
-        scales[k] = np.float32(v / 127.0 + 1e-12)
+    for k, (lo, hi) in ranges.items():
+        scales[k] = _sm_of(lo, hi, scheme)
     out: dict[str, Any] = {}
     for si in (1, 2, 3, 4):
         n = _STAGE_BLOCKS[si]
-        arr = np.zeros((n, 2), np.float32)
+        arr = np.zeros((n, 2, 2), np.float32)
         for bi in range(n):
             arr[bi, 0] = scales.pop(f"stage{si}/res{bi}/c1")
             arr[bi, 1] = scales.pop(f"stage{si}/res{bi}/add")
@@ -501,12 +579,13 @@ class QuantizedParams:
 
 def calibrate(params: Params, batches: Iterable[np.ndarray], *,
               compute_dtype=None, _folded=None,
-              percentile: float = CALIB_PERCENTILE) -> dict[str, float]:
+              percentile: float = CALIB_PERCENTILE) -> dict[str, tuple]:
     """Run the folded-float chain over calibration batches, return the
-    per-layer abs-max dict. Batches: uint8/float NHWC at the serving
-    input size (use REAL images for accuracy; noise calibration keeps
-    the pipeline functional but costs mAP). `_folded`: pre-folded
-    (bt, ht) trees from quantize_model, avoiding a second full fold."""
+    per-layer signed (lo, hi) range dict. Batches: uint8/float NHWC at
+    the serving input size (use REAL images for accuracy; noise
+    calibration keeps the pipeline functional but costs mAP).
+    `_folded`: pre-folded (bt, ht) trees from quantize_model, avoiding
+    a second full fold."""
     bt, ht = _folded if _folded is not None else _fold_region(params)
 
     @jax.jit
@@ -514,35 +593,45 @@ def calibrate(params: Params, batches: Iterable[np.ndarray], *,
         be = _CalibBE(compute_dtype, percentile)
         y = _prologue(params["backbone"], x, compute_dtype)
         _region(be, bt, ht, y)
-        return be.maxes
+        return be.stats
 
-    maxes: dict[str, float] = {}
+    ranges: dict[str, tuple] = {}
     for b in batches:
         m = jax.device_get(one(jnp.asarray(b)))
         for k, v in m.items():
-            maxes[k] = max(maxes.get(k, 0.0), float(v))
-    if not maxes:
+            lo, hi = float(v[0]), float(v[1])
+            if k in ranges:
+                lo, hi = min(lo, ranges[k][0]), max(hi, ranges[k][1])
+            ranges[k] = (lo, hi)
+    if not ranges:
         raise ValueError("calibrate() needs at least one batch")
-    return maxes
+    return ranges
 
 
 def quantize_model(cfg, params: Params, calib_batches: Iterable[np.ndarray],
-                   *, percentile: float = CALIB_PERCENTILE):
+                   *, percentile: float = CALIB_PERCENTILE,
+                   act_scheme: str = "asym"):
     """Fold, calibrate, and quantize a model's params. Dispatches by
     family: darknet families here, ResNet-FPN families to
-    quant_resnet.py. Returns the family's QuantizedParams pytree."""
+    quant_resnet.py. Returns the family's QuantizedParams pytree.
+
+    act_scheme: activation quantization — "asym" (affine, the default
+    since round 5: measured +0.08…+0.19 AP over "sym" on every family,
+    benchmarks/int8_modes.json) or "sym" (the historical symmetric
+    scheme, kept for A/B)."""
     if cfg.family not in QUANT_FAMILIES:
         from mydetection_tpu import quant_resnet
         if cfg.family in quant_resnet.RESNET_QUANT_FAMILIES:
             return quant_resnet.quantize_model(cfg, params, calib_batches,
-                                               percentile=percentile)
+                                               percentile=percentile,
+                                               act_scheme=act_scheme)
         raise ValueError(
             f"int8 quantization supports families "
             f"{QUANT_FAMILIES + quant_resnet.RESNET_QUANT_FAMILIES}; "
             f"'{cfg.name}' has family '{cfg.family}'")
     bt, ht = _fold_region(params)
-    maxes = calibrate(params, calib_batches, compute_dtype=cfg.compute_dtype,
-                      _folded=(bt, ht), percentile=percentile)
+    ranges = calibrate(params, calib_batches, compute_dtype=cfg.compute_dtype,
+                       _folded=(bt, ht), percentile=percentile)
     qb, qh = _quantize_folded(bt, ht)
     # prologue keeps ONLY what _prologue touches (stem, stage0,
     # stage1.down) — the float res blocks of stages 1-4 are ~90% of
@@ -552,7 +641,7 @@ def quantize_model(cfg, params: Params, calib_batches: Iterable[np.ndarray],
     prologue = {"stem": bb["stem"], "stage0": bb["stage0"],
                 "stage1": {"down": bb["stage1"]["down"]}}
     return QuantizedParams(backbone_float=prologue, qb=qb, qh=qh,
-                           scales=_stack_scales(maxes))
+                           scales=_stack_scales(ranges, act_scheme))
 
 
 def forward_raw(qp: QuantizedParams, images, *, compute_dtype=None) -> list:
@@ -684,6 +773,39 @@ def load_quantized(path: str, cfg=None):
                 "size-sensitive — expect some accuracy cost, or "
                 "recalibrate at the serving size", stacklevel=2)
     tree["scales"] = _reflatten(tree["scales"])
+
+    def _upgrade(v):
+        """Pre-round-5 artifacts stored symmetric SCALARS (plus (n, k)
+        res/scan stacks); the affine forward consumes [s, m0] pairs.
+        m0 = 0 reproduces the old symmetric dequant exactly (modulo
+        the clip floor moving −127 → −128, which old scales never
+        reach). Only called when the artifact-wide scalar probe below
+        says the whole artifact is old-format."""
+        v = jnp.asarray(v)
+        if v.ndim == 0:
+            return jnp.stack([v, jnp.zeros((), v.dtype)])
+        if v.ndim == 2:
+            return jnp.stack([v, jnp.zeros_like(v)], axis=-1)
+        return v
+
+    needs_upgrade = any(jnp.asarray(v).ndim == 0
+                        for v in tree["scales"].values())
+    if needs_upgrade:
+        tree["scales"] = {k: _upgrade(v) for k, v in tree["scales"].items()}
+    # the affine epilogue needs wsum per conv leaf; absent in old
+    # artifacts — derive it from the stored int8 weights
+    def _add_wsum(node):
+        if isinstance(node, dict):
+            if "wq" in node and "wsum" not in node:
+                node = {**node, "wsum": jnp.sum(
+                    node["wq"].astype(jnp.float32), axis=(0, 1, 2))}
+                return node
+            return {k: _add_wsum(v) for k, v in node.items()}
+        return node
+
+    for k in ("qb", "qh", "qf"):
+        if k in tree and tree[k] is not None:
+            tree[k] = _add_wsum(tree[k])
     if kind == "darknet":
         return QuantizedParams(**tree)
     if kind == "resnet":

@@ -93,23 +93,27 @@ CALIB_PERCENTILE = 100.0
 
 
 class _CalibBE:
-    """Folded-float forward; `toq` records abs-maxima and passes the
-    float tensor through unchanged."""
+    """Folded-float forward; `toq` records the signed (min, max) range
+    and passes the float tensor through unchanged (the affine scheme
+    maps the full range onto 256 levels — see quant._sm_of)."""
 
     def __init__(self, compute_dtype, percentile: float = CALIB_PERCENTILE):
         self.dt = compute_dtype
         self.percentile = float(percentile)
-        self.maxes: dict[str, jnp.ndarray] = {}
+        self.stats: dict[str, jnp.ndarray] = {}
 
     def toq(self, key: str, y):
-        yf = jnp.abs(y.astype(jnp.float32)).ravel()
+        yf = y.astype(jnp.float32).ravel()
         if self.percentile >= 100.0:
-            self.maxes[key] = jnp.max(yf)
+            self.stats[key] = jnp.stack([jnp.min(yf), jnp.max(yf)])
         else:
             # strided subsample caps the sort at ~1M elements — the
             # tail percentile estimate is stable far below that
             stride = max(1, yf.size // (1 << 20))
-            self.maxes[key] = jnp.percentile(yf[::stride], self.percentile)
+            sub = yf[::stride]
+            self.stats[key] = jnp.stack([
+                jnp.percentile(sub, 100.0 - self.percentile),
+                jnp.percentile(sub, self.percentile)])
         return y
 
     def conv(self, f: Params, x, *, stride: int = 1):
@@ -152,7 +156,9 @@ class _FakeQuantBE(_CalibBE):
 
 
 class _QuantBE:
-    """int8 forward; handles are (xq int8, scale f32 scalar)."""
+    """int8 forward; handles are (xq int8, sm (2,) [scale, m0]) —
+    affine dequant x = s·xq + m0 (see quant._QuantBE: zero-point
+    border padding + the m0·wscale·wsum epilogue constant)."""
 
     def __init__(self, scales: dict, compute_dtype,
                  scan_blocks: bool | None = None):
@@ -161,17 +167,20 @@ class _QuantBE:
         self.scan = scan_blocks
 
     def toq(self, key: str, y):
-        s = self.s[key]
-        return _quant(y, s), s
+        sm = self.s[key]
+        return _quant(y, sm), sm
 
     def conv(self, q: Params, xr, *, stride: int = 1):
-        xq, xs = xr
-        acc = _conv_i8(xq, q["wq"], stride=stride)
-        return acc.astype(jnp.float32) * (xs * q["wscale"]) + q["bias"]
+        xq, sm = xr
+        from mydetection_tpu.quant import _zero_point
+
+        acc = _conv_i8(xq, q["wq"], stride=stride, pad_val=_zero_point(sm))
+        return (acc.astype(jnp.float32) * (sm[..., 0] * q["wscale"])
+                + sm[..., 1] * q["wscale"] * q["wsum"] + q["bias"])
 
     def deq(self, xr):
-        xq, xs = xr
-        return xq.astype(jnp.float32) * xs
+        xq, sm = xr
+        return xq.astype(jnp.float32) * sm[..., 0] + sm[..., 1]
 
     def out(self, p: Params, xr):
         x = (self.deq(xr) if isinstance(xr, tuple) else xr).astype(self.dt)
@@ -202,7 +211,7 @@ class _QuantBE:
 
 
 class _SliceBE:
-    """Quant backend view whose `toq` consumes a (3,) scale vector
+    """Quant backend view whose `toq` consumes a (3, 2) [s, m0] stack
     positionally — the bottleneck body requantizes exactly 3 times in
     fixed order (c1, c2, add), so keys are ignored inside the scan."""
 
@@ -358,13 +367,17 @@ def _prologue(backbone: Params, images, compute_dtype) -> jnp.ndarray:
 def _qleaf_bias(p: Params) -> Params:
     """bias-conv {'w','b'} -> int8 leaf (no BN to fold)."""
     wq, ws = quantize_weight(p["w"])
-    return {"wq": wq, "wscale": ws, "bias": p["b"].astype(jnp.float32)}
+    return {"wq": wq, "wscale": ws,
+            "wsum": jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2)),
+            "bias": p["b"].astype(jnp.float32)}
 
 
 def _qleaf_folded(f: Params) -> Params:
     """Folded-float leaf {'wf','bias'} → int8 leaf."""
     wq, ws = quantize_weight(f["wf"])
-    return {"wq": wq, "wscale": ws, "bias": f["bias"].astype(jnp.float32)}
+    return {"wq": wq, "wscale": ws,
+            "wsum": jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2)),
+            "bias": f["bias"].astype(jnp.float32)}
 
 
 def _prep_backbone(ft: Params) -> Params:
@@ -411,15 +424,18 @@ def _prep_head(hd: Params, family: str) -> Params:
     return out
 
 
-def _stack_scales(maxes: dict[str, float], qb: Params) -> dict[str, Any]:
-    scales = {k: np.float32(v / 127.0 + 1e-12) for k, v in maxes.items()}
+def _stack_scales(ranges: dict[str, tuple], qb: Params,
+                  scheme: str) -> dict[str, Any]:
+    from mydetection_tpu.quant import _sm_of
+
+    scales = {k: _sm_of(lo, hi, scheme) for k, (lo, hi) in ranges.items()}
     out: dict[str, Any] = {}
     for si in range(4):
         if "scan_stacked" not in qb[f"stage{si}"]:
             continue
         n1 = jax.tree_util.tree_leaves(
             qb[f"stage{si}"]["scan_stacked"])[0].shape[0]
-        arr = np.zeros((n1, 3), np.float32)
+        arr = np.zeros((n1, 3, 2), np.float32)
         for bi in range(n1):
             for ci, part in enumerate(("c1", "c2", "add")):
                 arr[bi, ci] = scales.pop(f"stage{si}/b{bi + 1}/{part}")
@@ -457,16 +473,19 @@ def calibrate(cfg, params: Params, batches: Iterable[np.ndarray], *,
         be = _CalibBE(cfg.compute_dtype, percentile)
         y = _prologue(params["backbone"], x, cfg.compute_dtype)
         _region(be, qb, qf, qh, y, cfg=cfg)
-        return be.maxes
+        return be.stats
 
-    maxes: dict[str, float] = {}
+    ranges: dict[str, tuple] = {}
     for b in batches:
         m = jax.device_get(one(jnp.asarray(b)))
         for k, v in m.items():
-            maxes[k] = max(maxes.get(k, 0.0), float(v))
-    if not maxes:
+            lo, hi = float(v[0]), float(v[1])
+            if k in ranges:
+                lo, hi = min(lo, ranges[k][0]), max(hi, ranges[k][1])
+            ranges[k] = (lo, hi)
+    if not ranges:
         raise ValueError("calibrate() needs at least one batch")
-    return maxes
+    return ranges
 
 
 def _fold_only(bb: Params) -> Params:
@@ -518,22 +537,22 @@ def _fold_head_float(hd: Params, family: str) -> Params:
 
 def quantize_model(cfg, params: Params,
                    calib_batches: Iterable[np.ndarray],
-                   *, percentile: float = CALIB_PERCENTILE
-                   ) -> QuantizedResnetParams:
+                   *, percentile: float = CALIB_PERCENTILE,
+                   act_scheme: str = "asym") -> QuantizedResnetParams:
     if cfg.family not in RESNET_QUANT_FAMILIES:
         raise ValueError(f"quant_resnet supports {RESNET_QUANT_FAMILIES}, "
                          f"got family '{cfg.family}'")
     ft = _fold_only(params["backbone"])
     ff = _fold_fpn_float(params["fpn"])
     fh = _fold_head_float(params["head"], cfg.family)
-    maxes = calibrate(cfg, params, calib_batches, _folded=(ft, ff, fh),
-                      percentile=percentile)
+    ranges = calibrate(cfg, params, calib_batches, _folded=(ft, ff, fh),
+                       percentile=percentile)
     qb = _prep_backbone(ft)
     return QuantizedResnetParams(
         backbone_float={"stem": params["backbone"]["stem"]},
         qb=qb, qf=_prep_fpn(params["fpn"]),
         qh=_prep_head(params["head"], cfg.family),
-        scales=_stack_scales(maxes, qb))
+        scales=_stack_scales(ranges, qb, act_scheme))
 
 
 def forward_raw(qp: QuantizedResnetParams, images, *, cfg,

@@ -197,9 +197,10 @@ def test_fakequant_gates_off_is_float_and_on_is_int8(small_yolo):
     model, params, batches, qp = small_yolo
     imgs = jnp.asarray(batches[0])
     bt, ht = quant._fold_region(params)
-    maxes = quant.calibrate(params, batches, compute_dtype=jnp.float32,
-                            _folded=(bt, ht))
-    scales = {k: jnp.float32(v / 127.0 + 1e-12) for k, v in maxes.items()}
+    ranges = quant.calibrate(params, batches, compute_dtype=jnp.float32,
+                             _folded=(bt, ht))
+    scales = {k: jnp.float32(max(abs(lo), abs(hi)) / 127.0 + 1e-12)
+              for k, (lo, hi) in ranges.items()}
 
     def run(gate_val):
         gates = {k: jnp.float32(gate_val) for k in scales}
@@ -228,3 +229,43 @@ def test_fakequant_gates_off_is_float_and_on_is_int8(small_yolo):
     # and the ON leg is NOT the float chain (the gates do something)
     d0 = np.asarray(on[0], np.float64) - np.asarray(off[0], np.float64)
     assert np.max(np.abs(d0)) > 0.0
+
+
+def test_act_scheme_ab_and_old_artifact_upgrade(small_yolo, tmp_path):
+    """(a) act_scheme='sym' still works (the A/B escape hatch) and its
+    scales carry m0=0. (b) A pre-round-5 artifact (scalar symmetric
+    scales, no wsum) loads through the upgrade path and produces the
+    SAME forward as the in-memory sym quantization — bitwise."""
+    model, params, batches, qp_asym = small_yolo
+    qp = quant.quantize_model(model.config, params, batches,
+                              act_scheme="sym")
+    flat_ok = all(np.asarray(v)[..., 1].max() == 0.0
+                  for v in qp.scales.values())
+    assert flat_ok  # sym == affine with m0=0
+    # downgrade to the old on-disk format: drop the m0 column + wsum
+    old_scales = {k: jnp.asarray(np.asarray(v)[..., 0])
+                  for k, v in qp.scales.items()}
+
+    def strip_wsum(node):
+        if isinstance(node, dict):
+            return {k: strip_wsum(v) for k, v in node.items()
+                    if k != "wsum"}
+        return node
+
+    qp_old = quant.QuantizedParams(
+        backbone_float=qp.backbone_float,
+        qb=strip_wsum(qp.qb), qh=strip_wsum(qp.qh), scales=old_scales)
+    path = str(tmp_path / "old.npz")
+    quant.save_quantized(path, qp_old, model.config)
+    qp2 = quant.load_quantized(path, model.config)
+    x = jnp.asarray(batches[0])
+
+    @jax.jit
+    def fwd(q, x):
+        return quant.forward_raw(q, x, compute_dtype=jnp.float32)
+
+    for a, b in zip(fwd(qp, x), fwd(qp2, x)):
+        assert bool(jnp.all(a == b))
+    # and asym != sym on at least one head (the schemes genuinely differ)
+    da = fwd(qp_asym, x)
+    assert any(bool(jnp.any(a != b)) for a, b in zip(da, fwd(qp, x)))

@@ -203,9 +203,10 @@ def test_fakequant_gates_off_is_float_and_on_is_int8(small_retinanet):
     ft = quant_resnet._fold_only(params["backbone"])
     ff = quant_resnet._fold_fpn_float(params["fpn"])
     fh = quant_resnet._fold_head_float(params["head"], cfg.family)
-    maxes = quant_resnet.calibrate(cfg, params, batches,
-                                   _folded=(ft, ff, fh))
-    scales = {k: jnp.float32(v / 127.0 + 1e-12) for k, v in maxes.items()}
+    ranges = quant_resnet.calibrate(cfg, params, batches,
+                                    _folded=(ft, ff, fh))
+    scales = {k: jnp.float32(max(abs(lo), abs(hi)) / 127.0 + 1e-12)
+              for k, (lo, hi) in ranges.items()}
 
     def run(gate_val):
         g = jnp.float32(gate_val)
