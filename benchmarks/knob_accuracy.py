@@ -208,13 +208,13 @@ def run_family(family: str, spec: dict, *, eval_conf: float = 0.005,
                                 calib_images=imgs[:16]),
         "int8_calib_noise": dict(approx_topk=False, quantized=True,
                                  calib_images=None),
-        # serve.py --coalesce-sizes serves small-size requests on the
-        # larger canvas: measure that policy's accuracy effect by
-        # evaluating the size-S-trained proxy at 1.5x S (the letterbox
-        # upsample shifts the object-scale distribution)
-        "serve_at_larger_size": dict(compute_dtype=jnp.float32,
-                                     approx_topk=False,
-                                     input_size=int(spec["size"] * 1.5)),
+        # NOTE: a serve-at-larger-size variant was tried here and
+        # RETRACTED: these proxies overfit at ONE size with no
+        # multi-scale augmentation, so evaluating at 1.5x size
+        # measures the proxy's scale brittleness (dAP -0.85!), not
+        # the serve.py --coalesce-sizes policy. The policy's honest
+        # offline measurement trains a MULTI-SCALE proxy first —
+        # benchmarks/size_policy_accuracy.py.
     }
     out = {"spec": {k: v for k, v in spec.items()}, "train": losses,
            "eval_conf": eval_conf, "variants": {}}
@@ -273,8 +273,10 @@ def main(argv=None):
                                      eval_conf=args.eval_conf,
                                      only_variants=only,
                                      merge_into=results.get(family))
-    with open(path, "w") as fh:
-        json.dump(results, fh, indent=2)
+        # write after EVERY family: a transport fault mid-run must not
+        # lose the completed measurements (it did once, round 5)
+        with open(path, "w") as fh:
+            json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))
     print(f"# wrote {path}")
 

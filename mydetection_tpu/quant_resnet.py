@@ -32,10 +32,13 @@ scales. The head towers are weight-shared across pyramid levels but
 get PER-LEVEL activation scales (the level statistics differ by an
 order of magnitude).
 
-Accuracy note: activations after ReLU are non-negative, so symmetric
-int8 spends its sign bit — effective 7-bit activations (the standard
-symmetric-PTQ tradeoff; per-channel weights keep weight error small).
-Calibrate on real images for serving.
+Accuracy note: activations after ReLU are non-negative, which is why
+the default activation scheme is AFFINE since round 5 (quant._sm_of
+"asym") — the old symmetric scheme spent the sign bit on a half-range
+that post-ReLU activations never use, and the mode sweep measured the
+affine scheme recovering +0.09…+0.19 AP on these families
+(benchmarks/int8_modes.json). Per-channel weights keep weight error
+small. Calibrate on real images for serving.
 
 Entry points: `quantize_model` / `forward_raw` (drop-in for the float
 `forward_raw` raw tuple), dispatched via `quant.quantize_model` and
