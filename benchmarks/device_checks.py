@@ -176,12 +176,22 @@ def check_rotated_nms(n_sets: int = 512, k: int = 256, chunk: int = 64,
 # ---------------------------------------------------------------- goldens
 
 _GOLDEN_SPECS = (
-    # (family, size, conf) — must mirror tests/test_golden_e2e.py
-    ("yolov3", 416, 0.25),
-    ("retinanet", 160, 0.005),
-    ("retinanet_r101", 160, 0.005),
-    ("fcos", 160, 0.005),
-    ("rapid", 128, 0.25),
+    # (family, size, conf, box_tol_px) — must mirror
+    # tests/test_golden_e2e.py. Per-family box tolerances (VERDICT r4
+    # #7): families measured at ~0.00-0.04 px device-vs-CPU get a
+    # 0.1 px gate; retinanet keeps 2.0 px because its golden scene is
+    # maximally tie-degenerate — benchmarks/r50_drift_bisect.json
+    # shows every pre-NMS stage agreeing to <=4.8e-6 RELATIVE while
+    # 99 of its 100 final detections share ONE tied score, so CPU and
+    # TPU top-k/NMS legitimately keep different sub-pixel twins (the
+    # r4 0.38 px reading was twin spread, not arithmetic drift; r101
+    # runs the same FPN/head code and its ties happen to resolve
+    # identically).
+    ("yolov3", 416, 0.25, 0.1),
+    ("retinanet", 160, 0.005, 2.0),
+    ("retinanet_r101", 160, 0.005, 0.1),
+    ("fcos", 160, 0.005, 0.1),
+    ("rapid", 128, 0.25, 0.1),
 )
 
 
@@ -260,7 +270,7 @@ def check_goldens(families=None) -> dict:
         os.path.abspath(__file__))), "tests", "golden")
     img = _golden_image()
     results = {}
-    for name, size, conf in _GOLDEN_SPECS:
+    for name, size, conf, box_tol in _GOLDEN_SPECS:
         if families is not None and name not in families:
             continue
         path = os.path.join(golden_dir, f"{name}_e2e.npz")
@@ -286,7 +296,7 @@ def check_goldens(families=None) -> dict:
             ref_boxes = ref["boxes_rot"] if rot else ref["boxes"]
             row.update(_match_golden(dev_boxes, d.scores, d.classes,
                                      ref_boxes, ref["scores"],
-                                     ref["classes"]))
+                                     ref["classes"], box_tol=box_tol))
         else:
             row["ok"] = False
         results[name] = row
@@ -307,7 +317,7 @@ def check_knob_deltas(families=None) -> dict:
 
     img = _golden_image()
     results = {}
-    for name, size, conf in _GOLDEN_SPECS:
+    for name, size, conf, box_tol in _GOLDEN_SPECS:
         if families is not None and name not in families:
             continue
         if name == "retinanet_r101":
